@@ -1,0 +1,276 @@
+"""Typed configuration for the TPU-native semantic SLAM framework.
+
+Knob-for-knob mirror of the reference's rosparam surface (SURVEY.md §5):
+node-level params read in ``semantic_graph_slam_ros.cpp:29-37``, engine params
+in ``semantic_graph_slam.cpp:22-28``, keyframe gate in
+``keyframe_updater.hpp:23-27``, segmentation in ``plane_segmentation.cpp:7-9``,
+association in ``data_association.h:49-55``, information matrix in
+``information_matrix_calculator.cpp:8-17``. The five YAML profiles under
+``/root/reference/config/`` are reproduced as `PROFILES`.
+
+Extra fields (capacities, solver, mesh) configure the TPU-side design: the
+graph lives in fixed-capacity device arrays, so K/L/E maxima are explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+# Semantic class whitelist enforced by the reference frontend
+# (point_cloud_segmentation.h:126-130). Index = integer class id on device.
+SEMANTIC_CLASSES: tuple[str, ...] = (
+    "chair",
+    "tvmonitor",
+    "book",
+    "keyboard",
+    "laptop",
+    "bucket",
+    "car",
+)
+CLASS_TO_ID: dict[str, int] = {c: i for i, c in enumerate(SEMANTIC_CLASSES)}
+
+# plane_type encoding on device: 0 = horizontal, 1 = vertical
+# (matches the flag byte packed at plane_segmentation.cpp:204/229).
+PLANE_HORIZONTAL = 0
+PLANE_VERTICAL = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Frontend plane-extraction knobs (plane_segmentation.cpp:7-9 defaults)."""
+
+    num_point_seg: int = 500  # min inliers per plane (mps.setMinInliers)
+    norm_point_thres: int = 5000  # min cropped points to even compute normals
+    planar_area: float = 0.1  # min plane area [m^2]
+    # Reference-fixed constants (multiPlaneSegmentation):
+    angular_thres_deg: float = 2.0  # plane_segmentation.cpp:140
+    distance_thres: float = 0.02  # plane_segmentation.cpp:141
+    boundary_min_points: int = 100  # plane_segmentation.cpp:169
+    # TPU-design knobs (no reference equivalent — static shapes):
+    image_height: int = 480  # reference hardcodes 640x480 (cpp:35)
+    image_width: int = 640
+    crop_height: int = 256  # static bbox crop window
+    crop_width: int = 256
+    max_planes_per_detection: int = 4
+    num_hypotheses: int = 128  # RANSAC hypotheses per extraction round
+    normal_smoothing_size: int = 20  # PCL setNormalSmoothingSize(20.0f)
+    max_depth_change_factor: float = 0.03  # PCL setMaxDepthChangeFactor
+
+
+@dataclasses.dataclass(frozen=True)
+class AssociationConfig:
+    """Data-association gating (data_association.h:49-55 defaults)."""
+
+    maha_dist_thres: float = 0.5
+    eq_dist_thres: float = 1.21
+    land_noise_low: float = 0.5
+    land_noise_high: float = 0.9
+    use_maha_dist: bool = True
+    use_eq_dist: bool = False
+    use_rtab_map_odom: bool = False
+    # Reference bug (SURVEY quirk 2): distance_min not reset per detection.
+    # We fix it by default; set True to reproduce the reference behaviour.
+    replicate_distance_min_bug: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe gate (keyframe_updater.hpp:23-27 defaults)."""
+
+    delta_trans: float = 0.5
+    delta_angle: float = 0.5
+    delta_time: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class InformationConfig:
+    """Odometry-edge information matrix (information_matrix_calculator.cpp)."""
+
+    use_const_inf_matrix: bool = True
+    const_stddev_x: float = 0.0667
+    const_stddev_q: float = 0.0667
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Batched LM solver replacing g2o "lm_var" (graph_slam.cpp:67-73)."""
+
+    max_iterations: int = 64  # g2o caps at 1024 but converges far earlier
+    min_edges_to_optimize: int = 10  # graph_slam.cpp:184-186
+    init_lambda: float = 1e-4
+    lambda_up: float = 2.0
+    lambda_down: float = 0.5
+    rel_decrease_tol: float = 1e-6  # stop when chi2 improvement is negligible
+    dtype: str = "float32"
+    # 'dense'  : Schur-reduced dense Cholesky (MXU) — single chip default.
+    # 'pcg'    : blocked preconditioned CG on the reduced system (sharded).
+    linear_solver: str = "dense"
+    pcg_iters: int = 128
+    pcg_tol: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static-shape capacities for device-resident graph state."""
+
+    max_keyframes: int = 512
+    max_landmarks: int = 128
+    max_odom_edges: int = 512
+    max_landmark_edges: int = 2048
+    max_detections_per_frame: int = 8
+    max_keyframes_per_update: int = 10  # semantic_graph_slam.cpp:18
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Multi-chip layout. Edges/detections shard over the 'shard' axis."""
+
+    num_devices: int = 1
+    axis_name: str = "shard"
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # node/engine-level params
+    verbose: bool = False
+    camera_angle_deg: float = 0.0  # ~camera_angle (converted to rad in engine)
+    update_key_using_det: bool = False
+    add_first_lan: bool = False
+    first_lan_x: float = 1.8
+    first_lan_y: float = 0.0
+    first_lan_z: float = 0.3
+    save_graph: bool = False
+    save_graph_path: str = "semantic_graph.g2o"
+    compute_txt_for_ate: bool = False
+    # odometry source selection (semantic_graph_slam_ros.cpp:29-37)
+    use_snap_pose: bool = False
+    use_rovio_odom: bool = False
+    use_orb_slam_odom: bool = False
+    use_rtab_map_odom: bool = False
+    # frame-chain fidelity: True reproduces tools.h exactly (incl. its typo)
+    strict_reference_frames: bool = True
+
+    keyframe: KeyframeConfig = KeyframeConfig()
+    segmentation: SegmentationConfig = SegmentationConfig()
+    association: AssociationConfig = AssociationConfig()
+    information: InformationConfig = InformationConfig()
+    solver: SolverConfig = SolverConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    mesh: MeshConfig = MeshConfig()
+
+    @property
+    def camera_angle_rad(self) -> float:
+        # semantic_graph_slam.cpp:29
+        return self.camera_angle_deg * (math.pi / 180.0)
+
+    def replace(self, **kw: Any) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _profile(**kw: Any) -> SlamConfig:
+    return SlamConfig(**kw)
+
+
+# The five reference YAML profiles, field-for-field
+# (/root/reference/config/*.yaml).
+PROFILES: dict[str, SlamConfig] = {
+    "bucket_detector": _profile(
+        verbose=True,
+        camera_angle_deg=33.93,
+        update_key_using_det=True,
+        add_first_lan=True,
+        first_lan_x=1.42,
+        first_lan_y=-0.028,
+        first_lan_z=0.15,
+        compute_txt_for_ate=True,
+        segmentation=SegmentationConfig(
+            num_point_seg=100, norm_point_thres=1000, planar_area=0.0
+        ),
+        association=AssociationConfig(
+            maha_dist_thres=1.5,
+            use_maha_dist=False,
+            use_eq_dist=True,
+            eq_dist_thres=1.5,
+            land_noise_low=0.4,
+            land_noise_high=0.4,
+        ),
+        information=InformationConfig(
+            use_const_inf_matrix=True, const_stddev_x=0.00667, const_stddev_q=0.00001
+        ),
+    ),
+    "bucket_detector_workspace": _profile(
+        camera_angle_deg=33.93,
+        update_key_using_det=True,
+        segmentation=SegmentationConfig(
+            num_point_seg=100, norm_point_thres=5000, planar_area=0.01
+        ),
+        association=AssociationConfig(
+            maha_dist_thres=1.5,
+            use_maha_dist=False,
+            use_eq_dist=True,
+            eq_dist_thres=1.5,
+            land_noise_low=0.1,
+            land_noise_high=0.1,
+        ),
+        information=InformationConfig(
+            use_const_inf_matrix=True, const_stddev_x=0.00667, const_stddev_q=0.00001
+        ),
+    ),
+    "yolo_detector": _profile(
+        camera_angle_deg=0.0,
+        compute_txt_for_ate=True,
+        segmentation=SegmentationConfig(
+            num_point_seg=500, norm_point_thres=5000, planar_area=0.20
+        ),
+        association=AssociationConfig(
+            maha_dist_thres=0.584,
+            use_maha_dist=True,
+            use_eq_dist=False,
+            eq_dist_thres=1.5,
+            land_noise_low=0.4,
+            land_noise_high=0.4,
+        ),
+        information=InformationConfig(
+            use_const_inf_matrix=True, const_stddev_x=0.00667, const_stddev_q=0.0001
+        ),
+    ),
+    "yolo_detector_kitti": _profile(
+        camera_angle_deg=0.0,
+        update_key_using_det=True,
+        segmentation=SegmentationConfig(
+            num_point_seg=100, norm_point_thres=100, planar_area=0.1
+        ),
+        association=AssociationConfig(
+            maha_dist_thres=1.5,
+            use_maha_dist=False,
+            use_eq_dist=True,
+            eq_dist_thres=1.5,
+            land_noise_low=0.1,
+            land_noise_high=0.1,
+        ),
+        information=InformationConfig(
+            use_const_inf_matrix=True, const_stddev_x=0.00667, const_stddev_q=0.00001
+        ),
+    ),
+    "yolo_detector_rotonda": _profile(
+        camera_angle_deg=0.0,
+        use_rovio_odom=True,
+        compute_txt_for_ate=True,
+        segmentation=SegmentationConfig(
+            num_point_seg=500, norm_point_thres=5000, planar_area=0.1
+        ),
+        association=AssociationConfig(
+            maha_dist_thres=2.36,
+            use_maha_dist=True,
+            use_eq_dist=False,
+            eq_dist_thres=1.5,
+            land_noise_low=0.5,
+            land_noise_high=0.5,
+        ),
+        information=InformationConfig(
+            use_const_inf_matrix=True, const_stddev_x=0.00067, const_stddev_q=0.00001
+        ),
+    ),
+}
