@@ -83,7 +83,14 @@ def _bbox_sample(points, valid, normal, normal_valid, box, samp_h, samp_w):
 
 @partial(
     jax.jit,
-    static_argnames=("samp_h", "samp_w", "max_planes", "num_hypotheses", "smoothing_size"),
+    static_argnames=(
+        "samp_h",
+        "samp_w",
+        "max_planes",
+        "num_hypotheses",
+        "smoothing_size",
+        "strict_frames",
+    ),
 )
 def segment_all(
     points: jax.Array,  # [H, W, 3] organized cloud, cam frame
