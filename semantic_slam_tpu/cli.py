@@ -1,0 +1,199 @@
+"""Command-line entry — the process-level equivalent of
+``semantic_graph_SLAM_node.cpp`` + the launch profiles.
+
+  python -m semantic_slam_tpu.cli synth --out lab.npz --steps 720
+  python -m semantic_slam_tpu.cli run --log lab.npz --profile bucket_detector_workspace --out results/
+
+``run`` replays the log through the engine on a simulated 30 Hz tick grid,
+then performs the shutdown work the reference does (computeATE TUM dumps,
+saveGraph) plus the in-process evaluation and viz exports the reference
+lacks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_synth(args) -> None:
+    from semantic_slam_tpu.io import replay as replay_mod
+    from semantic_slam_tpu.io import synthetic as synth_mod
+
+    log = synth_mod.make_synthetic_log(
+        seed=args.seed,
+        n_steps=args.steps,
+        sensor_every=args.sensor_every,
+        drift_noise=args.drift,
+        loops=args.loops,
+        H=args.height,
+        W=args.width,
+    )
+    replay_mod.save_log(args.out, log)
+    print(
+        f"wrote {args.out}: {len(log.odom)} odom / {len(log.clouds)} clouds / "
+        f"{len(log.detections)} detections / {len(log.gt)} gt"
+    )
+
+
+def cmd_run(args) -> None:
+    from semantic_slam_tpu.config import PROFILES
+    from semantic_slam_tpu.eval import ate as ate_mod
+    from semantic_slam_tpu.io import replay as replay_mod
+    from semantic_slam_tpu.io import tum as tum_mod
+    from semantic_slam_tpu.runtime.engine import SlamEngine
+
+    if args.profile not in PROFILES:
+        sys.exit(f"unknown profile {args.profile!r}; have {sorted(PROFILES)}")
+    cfg = PROFILES[args.profile]
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.compute_ate:
+        cfg = cfg.replace(compute_txt_for_ate=True)
+    if args.max_keyframes:
+        from semantic_slam_tpu.config import CapacityConfig
+
+        cfg = cfg.replace(
+            capacity=CapacityConfig(
+                max_keyframes=args.max_keyframes,
+                max_landmarks=max(args.max_keyframes // 4, 16),
+                max_odom_edges=args.max_keyframes,
+                max_landmark_edges=args.max_keyframes * 4,
+                max_detections_per_frame=cfg.capacity.max_detections_per_frame,
+            )
+        )
+    if args.crop_size:
+        import dataclasses
+
+        cfg = cfg.replace(
+            segmentation=dataclasses.replace(
+                cfg.segmentation,
+                crop_height=args.crop_size,
+                crop_width=args.crop_size,
+                num_hypotheses=min(cfg.segmentation.num_hypotheses, args.crop_size),
+            )
+        )
+
+    log = replay_mod.load_log(args.log)
+    engine = SlamEngine(cfg)
+    replay_mod.replay(log, engine)
+
+    os.makedirs(args.out, exist_ok=True)
+
+    # --- shutdown work (semantic_graph_SLAM_node.cpp:22-23) ---------------
+    kf_t = np.array([k.stamp for k in engine.keyframes])
+    kf_poses = engine.get_keyframe_poses()
+    if cfg.compute_txt_for_ate or args.compute_ate:
+        tum_mod.write_tum(os.path.join(args.out, "robot_pose.txt"), kf_t, kf_poses)
+        vio_t = np.array([t for t, _ in engine.vio_traj])
+        vio_p = np.stack([p for _, p in engine.vio_traj]) if engine.vio_traj else np.zeros((0, 7))
+        tum_mod.write_tum(os.path.join(args.out, "vio_pose.txt"), vio_t, vio_p)
+        if log.gt:
+            gt_t = np.array([e.t for e in log.gt])
+            gt_p = np.stack([e.pose7 for e in log.gt])
+            tum_mod.write_tum(os.path.join(args.out, "gt_pose.txt"), gt_t, gt_p)
+
+    if cfg.save_graph or args.save_graph:
+        from semantic_slam_tpu.io.g2o_io import save_g2o
+
+        save_g2o(os.path.join(args.out, "semantic_graph.g2o"), engine.graph)
+
+    if args.checkpoint:
+        from semantic_slam_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(os.path.join(args.out, "checkpoint.npz"), engine)
+
+    grid = None
+    if args.voxel:
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.core import geometry as geo
+        from semantic_slam_tpu.mapping import voxel as vox
+
+        grid = vox.make_grid()
+        for kf in engine.keyframes:
+            if kf.cloud is None or kf.node_idx is None:
+                continue
+            est = engine.graph.poses[kf.node_idx]
+            xyzrpy = geo.pose_to_xyzrpy(est)
+            grid = vox.insert_keyframe_cloud(
+                grid, kf.cloud[0].astype(engine.dtype), kf.cloud[1], xyzrpy,
+                jnp.asarray(cfg.camera_angle_rad, engine.dtype),
+                strict_frames=cfg.strict_reference_frames,
+            )
+
+    from semantic_slam_tpu.viz.markers import export_session
+
+    export_session(args.out, engine, grid)
+
+    # --- in-process evaluation -------------------------------------------
+    summary = {
+        "profile": args.profile,
+        "keyframes": len(engine.keyframes),
+        "landmarks": int(engine.table.count),
+        "edges": int(engine.graph.num_edges()),
+        "optimize_calls": len([s for s in engine.stats_history if s["iterations"] > 0]),
+        "mean_solve_ms": float(
+            np.mean([s["solve_seconds"] for s in engine.stats_history]) * 1e3
+        )
+        if engine.stats_history
+        else None,
+    }
+    if log.gt:
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+        vio_t = np.array([t for t, _ in engine.vio_traj])
+        vio_xyz = np.stack([p[:3] for _, p in engine.vio_traj])
+        summary["ate_rmse_optimized"] = ate_mod.ate_rmse(kf_t, kf_poses[:, :3], gt_t, gt_xyz, align=False)
+        summary["ate_rmse_vio"] = ate_mod.ate_rmse(vio_t, vio_xyz, gt_t, gt_xyz, align=False)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="semantic_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synth", help="generate a synthetic replay log")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--steps", type=int, default=720)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--sensor-every", type=int, default=3)
+    ps.add_argument("--drift", type=float, default=0.006)
+    ps.add_argument("--loops", type=float, default=2.0)
+    ps.add_argument("--height", type=int, default=240)
+    ps.add_argument("--width", type=int, default=320)
+    ps.set_defaults(fn=cmd_synth)
+
+    pr = sub.add_parser("run", help="replay a log through the SLAM engine")
+    pr.add_argument("--log", required=True)
+    pr.add_argument("--profile", default="yolo_detector")
+    pr.add_argument("--out", default="results")
+    pr.add_argument("--save-graph", action="store_true")
+    pr.add_argument("--checkpoint", action="store_true")
+    pr.add_argument("--voxel", action="store_true")
+    pr.add_argument("--compute-ate", action="store_true")
+    pr.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    pr.add_argument(
+        "--max-keyframes", type=int, default=0,
+        help="override graph capacity (0 = profile default; growth still doubles on demand)",
+    )
+    pr.add_argument(
+        "--crop-size", type=int, default=0,
+        help="override the bbox resample grid (0 = profile default)",
+    )
+    pr.set_defaults(fn=cmd_run)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

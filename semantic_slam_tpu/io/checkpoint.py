@@ -1,0 +1,129 @@
+"""Checkpoint / resume for the whole engine state.
+
+The reference can only dump its graph at shutdown (``saveGraph``,
+``graph_slam.cpp:236-239``) — a crashed node loses everything and there is
+no load path (SURVEY.md §5). Here checkpointing is a real subsystem: the
+complete solver + association + trajectory state round-trips through one
+compressed npz, so long multi-session runs can stop/resume and multi-host
+jobs can recover.
+
+Keyframe clouds are NOT checkpointed (they are replay-log data, already on
+disk); everything derived from them is.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.assoc.association import LandmarkTable
+from semantic_slam_tpu.graph.state import GraphState
+
+
+def save_checkpoint(path: str, engine) -> None:
+    g = engine.graph
+    t = engine.table
+    kf_meta = [
+        {
+            "stamp": k.stamp,
+            "odom": k.odom.tolist(),
+            "robot_pose": k.robot_pose.tolist(),
+            "accum_distance": k.accum_distance,
+            "node_idx": k.node_idx,
+        }
+        for k in engine.keyframes
+    ]
+    gate = engine.gate
+    meta = {
+        "keyframes": kf_meta,
+        "gate": {
+            "is_first": gate.is_first,
+            "accum_distance": gate.accum_distance,
+            "prev_keypose": gate.prev_keypose.tolist(),
+            "prev_time": gate.prev_time,
+        },
+        "first_key_added": engine.first_key_added,
+        "dtype": str(np.dtype(engine.dtype)),
+        "stats_history": engine.stats_history,
+    }
+    np.savez_compressed(
+        path,
+        meta=json.dumps(meta),
+        robot_pose=engine.robot_pose,
+        vio_pose=engine.vio_pose,
+        prev_odom=engine.prev_odom,
+        map2odom=engine.map2odom,
+        marginals=np.asarray(engine.marginals),
+        robot_traj_t=np.array([s for s, _ in engine.robot_traj]),
+        robot_traj_p=np.array([p for _, p in engine.robot_traj]).reshape(-1, 7),
+        vio_traj_t=np.array([s for s, _ in engine.vio_traj]),
+        vio_traj_p=np.array([p for _, p in engine.vio_traj]).reshape(-1, 7),
+        **{f"g_{k}": np.asarray(v) for k, v in g._asdict().items()},
+        **{f"t_{k}": np.asarray(v) for k, v in t._asdict().items()},
+    )
+
+
+def load_checkpoint(path: str, engine) -> None:
+    """Restore in place into a freshly-constructed engine (same config)."""
+    from semantic_slam_tpu.runtime.engine import KeyframeMeta
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    dtype = engine.dtype
+
+    engine.graph = GraphState(
+        **{
+            k: jnp.asarray(
+                z[f"g_{k}"],
+                dtype=(
+                    jnp.int32
+                    if z[f"g_{k}"].dtype.kind == "i"
+                    else dtype
+                ),
+            )
+            for k in GraphState._fields
+        }
+    )
+    engine.table = LandmarkTable(
+        **{
+            k: jnp.asarray(
+                z[f"t_{k}"],
+                dtype=(jnp.int32 if z[f"t_{k}"].dtype.kind == "i" else dtype),
+            )
+            for k in LandmarkTable._fields
+        }
+    )
+    engine.marginals = jnp.asarray(z["marginals"], dtype)
+    engine.robot_pose = z["robot_pose"].astype(np.float64)
+    engine.vio_pose = z["vio_pose"].astype(np.float64)
+    engine.prev_odom = z["prev_odom"].astype(np.float64)
+    engine.map2odom = z["map2odom"].astype(np.float64)
+    engine.robot_traj = [
+        (float(s), p.copy()) for s, p in zip(z["robot_traj_t"], z["robot_traj_p"])
+    ]
+    engine.vio_traj = [
+        (float(s), p.copy()) for s, p in zip(z["vio_traj_t"], z["vio_traj_p"])
+    ]
+    engine.first_key_added = bool(meta["first_key_added"])
+    engine.stats_history = meta["stats_history"]
+    engine.keyframes = [
+        KeyframeMeta(
+            stamp=k["stamp"],
+            odom=np.asarray(k["odom"]),
+            robot_pose=np.asarray(k["robot_pose"]),
+            accum_distance=k["accum_distance"],
+            cloud=None,
+            boxes=None,
+            class_ids=None,
+            probs=None,
+            node_idx=k["node_idx"],
+        )
+        for k in meta["keyframes"]
+    ]
+    gate = meta["gate"]
+    engine.gate.is_first = bool(gate["is_first"])
+    engine.gate.accum_distance = float(gate["accum_distance"])
+    engine.gate.prev_keypose = np.asarray(gate["prev_keypose"])
+    engine.gate.prev_time = float(gate["prev_time"])

@@ -1,0 +1,157 @@
+"""Tests for the auxiliary subsystems: voxel mapping, g2o IO, checkpoint,
+viz exports, CLI."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.io import g2o_io
+from semantic_slam_tpu.mapping import voxel as vox
+from tests.test_solver import build_chain_graph
+
+
+class TestVoxel:
+    def test_insert_and_query(self):
+        grid = vox.make_grid((32, 32, 16), origin=(0, 0, 0), resolution=0.1)
+        pts = jnp.asarray([[0.05, 0.05, 0.05]] * 3 + [[1.55, 1.55, 0.55]] * 2 + [[99, 99, 99]])
+        valid = jnp.asarray([True] * 6)
+        grid = vox.insert_world_points(grid, pts, valid)
+        hits = np.asarray(grid.hits)
+        assert hits[0, 0, 0] == 3
+        assert hits[15, 15, 5] == 2
+        assert hits.sum() == 5  # out-of-bounds dropped
+        mask = np.asarray(vox.occupied_mask(grid, min_hits=2))
+        assert mask.sum() == 2
+        centers = vox.occupied_centers(grid, min_hits=3)
+        np.testing.assert_allclose(centers, [[0.05, 0.05, 0.05]])
+
+    def test_invalid_points_dropped(self):
+        grid = vox.make_grid((8, 8, 8), origin=(0, 0, 0), resolution=0.5)
+        pts = jnp.ones((4, 3)) * 0.6
+        grid = vox.insert_world_points(grid, pts, jnp.asarray([True, False, True, False]))
+        assert int(np.asarray(grid.hits).sum()) == 2
+
+    def test_keyframe_cloud_world_consistency(self):
+        # a single cam point at z=2 with identity robot pose lands at world
+        # x ~ 2 (cam z-forward -> world x-forward chain)
+        grid = vox.make_grid((64, 64, 32), origin=(-1.6, -1.6, -0.8), resolution=0.1)
+        points = jnp.zeros((4, 4, 3)).at[:, :, 2].set(2.0)
+        valid = jnp.ones((4, 4), bool)
+        grid = vox.insert_keyframe_cloud(
+            grid, points, valid, jnp.zeros(6), jnp.asarray(0.0)
+        )
+        centers = vox.occupied_centers(grid, min_hits=1)
+        assert len(centers) == 1
+        # the point lands exactly on a voxel boundary; either neighbor is fine
+        np.testing.assert_allclose(centers[0], [2.0, 0.0, 0.0], atol=0.08)
+
+
+class TestG2oIO:
+    def test_round_trip(self, rng, tmp_path):
+        g, _, _ = build_chain_graph(rng, noise=0.03)
+        path = str(tmp_path / "graph.g2o")
+        g2o_io.save_g2o(path, g)
+        txt = open(path).read()
+        assert "VERTEX_SE3:QUAT 0 " in txt
+        assert "FIX 0" in txt
+        assert "VERTEX_TRACKXYZ" in txt
+        assert "EDGE_SE3:QUAT" in txt
+        assert "EDGE_SE3_TRACKXYZ" in txt
+        assert txt.startswith("PARAMS_SE3OFFSET 0 0 0 0 0 0 0 1")
+
+        g2 = g2o_io.load_g2o(path)
+        K = int(g.num_poses)
+        np.testing.assert_allclose(
+            np.asarray(g2.poses[:K, :3]), np.asarray(g.poses[:K, :3]), atol=1e-12
+        )
+        assert int(g2.num_odom) == int(g.num_odom)
+        assert int(g2.num_lme) == int(g.num_lme)
+        L = int(g.num_landmarks)
+        np.testing.assert_allclose(
+            np.asarray(g2.landmarks[:L]), np.asarray(g.landmarks[:L]), atol=1e-12
+        )
+        E = int(g.num_odom)
+        np.testing.assert_allclose(
+            np.asarray(g2.odom_info[:E]), np.asarray(g.odom_info[:E]), atol=1e-12
+        )
+
+    def test_loaded_graph_optimizes(self, rng, tmp_path):
+        from semantic_slam_tpu.solver import lm as lm_mod
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        path = str(tmp_path / "graph.g2o")
+        g2o_io.save_g2o(path, g)
+        g2 = g2o_io.load_g2o(path)
+        out, stats = lm_mod.lm_optimize(g2)
+        assert float(stats.chi2_final) <= float(stats.chi2_initial)
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_e2e import e2e_config
+
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        log = synth_mod.make_synthetic_log(seed=5, n_steps=120, sensor_every=6, H=120, W=160)
+        eng = SlamEngine(e2e_config())
+        replay_mod.replay(log, eng)
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, eng)
+
+        eng2 = SlamEngine(e2e_config())
+        load_checkpoint(p, eng2)
+        np.testing.assert_allclose(
+            np.asarray(eng2.graph.poses), np.asarray(eng.graph.poses)
+        )
+        assert int(eng2.table.count) == int(eng.table.count)
+        assert len(eng2.keyframes) == len(eng.keyframes)
+        assert eng2.keyframes[-1].node_idx == eng.keyframes[-1].node_idx
+        np.testing.assert_allclose(eng2.robot_pose, eng.robot_pose)
+        # the restored engine keeps running
+        for t, p7 in [(100.0, eng.prev_odom), (101.5, eng.prev_odom + np.array([1, 0, 0, 0, 0, 0, 0.0]))]:
+            eng2.vio_callback(t, p7)
+        eng2.run()
+        assert int(eng2.graph.num_poses) >= int(eng.graph.num_poses)
+
+
+class TestVizAndCli:
+    def test_cli_synth_and_run(self, tmp_path):
+        from semantic_slam_tpu import cli
+
+        logp = str(tmp_path / "log.npz")
+        cli.main(
+            [
+                "synth", "--out", logp, "--steps", "90", "--sensor-every", "6",
+                "--height", "120", "--width", "160", "--loops", "1",
+            ]
+        )
+        out = str(tmp_path / "results")
+        cli.main(
+            [
+                "run", "--log", logp, "--profile", "yolo_detector", "--out", out,
+                "--save-graph", "--compute-ate", "--voxel", "--checkpoint", "--cpu",
+                "--max-keyframes", "64", "--crop-size", "64",
+            ]
+        )
+        for f in [
+            "summary.json", "robot_pose.txt", "vio_pose.txt", "gt_pose.txt",
+            "semantic_graph.g2o", "landmarks.json", "keyframes.ply",
+            "checkpoint.npz",
+        ]:
+            assert os.path.exists(os.path.join(out, f)), f
+        summary = json.load(open(os.path.join(out, "summary.json")))
+        assert summary["keyframes"] > 0
+
+    def test_marker_colors_match_reference_quirk(self):
+        from semantic_slam_tpu.viz.markers import CLASS_COLORS
+
+        assert CLASS_COLORS[2] == CLASS_COLORS[5]  # book == bucket
+        assert CLASS_COLORS[4] == CLASS_COLORS[6]  # laptop == car
