@@ -24,6 +24,8 @@ def cmd_synth(args) -> None:
     from semantic_slam_tpu.io import replay as replay_mod
     from semantic_slam_tpu.io import synthetic as synth_mod
 
+    import math
+
     log = synth_mod.make_synthetic_log(
         seed=args.seed,
         n_steps=args.steps,
@@ -32,8 +34,14 @@ def cmd_synth(args) -> None:
         loops=args.loops,
         H=args.height,
         W=args.width,
+        cam_pitch=math.radians(args.cam_pitch_deg),
     )
-    replay_mod.save_log(args.out, log)
+    if args.out.endswith(".slog"):
+        from semantic_slam_tpu import native
+
+        native.write_slog(args.out, log, height=args.height, width=args.width)
+    else:
+        replay_mod.save_log(args.out, log)
     print(
         f"wrote {args.out}: {len(log.odom)} odom / {len(log.clouds)} clouds / "
         f"{len(log.detections)} detections / {len(log.gt)} gt"
@@ -80,9 +88,18 @@ def cmd_run(args) -> None:
             )
         )
 
-    log = replay_mod.load_log(args.log)
     engine = SlamEngine(cfg)
-    replay_mod.replay(log, engine)
+    if args.log.endswith(".slog"):
+        replay_mod.replay_slog(args.log, engine)
+        gt_t, gt_p = replay_mod.slog_gt(args.log)
+
+        class _GtOnly:
+            gt = [replay_mod.GtEvent(float(t), p) for t, p in zip(gt_t, gt_p)]
+
+        log = _GtOnly()
+    else:
+        log = replay_mod.load_log(args.log)
+        replay_mod.replay(log, engine)
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -170,6 +187,10 @@ def main(argv=None) -> None:
     ps.add_argument("--loops", type=float, default=2.0)
     ps.add_argument("--height", type=int, default=240)
     ps.add_argument("--width", type=int, default=320)
+    ps.add_argument(
+        "--cam-pitch-deg", type=float, default=0.0,
+        help="camera pitch of the simulated rig; match the profile's camera_angle",
+    )
     ps.set_defaults(fn=cmd_synth)
 
     pr = sub.add_parser("run", help="replay a log through the SLAM engine")

@@ -131,6 +131,59 @@ def replay(log: ReplayLog, engine, tick_hz: float = 30.0, run_ticks: bool = True
     engine.run()
 
 
+def replay_slog(path: str, engine, tick_hz: float = 30.0) -> None:
+    """Replay a native SLOG binary log (mmap, zero-copy cloud views) through
+    the engine — same tick semantics as ``replay``."""
+    import jax.numpy as jnp
+
+    from semantic_slam_tpu import native
+
+    r = native.SlogReader(path)
+    ctx: dict = {}
+    next_tick: float | None = None
+    try:
+        for kind, idx in r.events():
+            if kind == 0:
+                t, xyz, valid = r.cloud(idx)
+            elif kind == 1:
+                t, boxes, cids, probs = r.detections(idx)
+            elif kind == 2:
+                t, source, pose, cov = r.odom(idx)
+            else:
+                continue  # gt: evaluation side channel
+            if next_tick is None:
+                next_tick = t
+            while t >= next_tick:
+                engine.run()
+                next_tick += 1.0 / tick_hz
+            if kind == 0:
+                engine.set_point_cloud(jnp.asarray(xyz), jnp.asarray(valid))
+            elif kind == 1:
+                engine.set_detections(boxes, cids, probs)
+            else:
+                fixed, cov6 = apply_odom_fixup(OdomEvent(t, pose, cov, source), ctx)
+                engine.vio_callback(t, fixed, cov6)
+        engine.run()
+    finally:
+        r.close()
+
+
+def slog_gt(path: str):
+    """Ground-truth track from a SLOG file: (stamps [N], poses7 [N,7])."""
+    from semantic_slam_tpu import native
+
+    r = native.SlogReader(path)
+    try:
+        ts, ps = [], []
+        for i in range(r.n_gt):
+            t, p = r.gt(i)
+            ts.append(t)
+            ps.append(p)
+        return np.asarray(ts), np.asarray(ps).reshape(-1, 7)
+    finally:
+        r.close()
+
+
 def save_log(path: str, log: ReplayLog) -> None:
     np.savez_compressed(
         path,

@@ -143,7 +143,8 @@ def project_bbox(
     x1, y1 = uv.max(axis=0)
     x0, y0 = max(0.0, x0), max(0.0, y0)
     x1, y1 = min(float(W), x1), min(float(H), y1)
-    if x1 - x0 < 12 or y1 - y0 < 12:
+    min_px = max(6.0, 12.0 * W / 320.0)
+    if x1 - x0 < min_px or y1 - y0 < min_px:
         return None
     return np.array([x0, y0, x1 - x0, y1 - y0])
 
@@ -171,6 +172,7 @@ def make_synthetic_log(
     """
     rng = np.random.default_rng(seed)
     objects = objects if objects is not None else default_lab_scene()
+    fx = 300.0 * W / 320.0  # keep the FOV constant across render sizes
     per_loop = max(int(n_steps / max(loops, 1e-9)), 8)
     one = circle_trajectory(per_loop)
     reps = int(np.ceil(n_steps / per_loop))
@@ -192,11 +194,11 @@ def make_synthetic_log(
             )
             vio = np.asarray(geo.pose_mul(jnp.asarray(vio), jnp.asarray(rel_noisy)))
         if i % sensor_every == 0:
-            pts, valid = render_cloud(gt[i], objects, cam_pitch, H=H, W=W)
+            pts, valid = render_cloud(gt[i], objects, cam_pitch, H=H, W=W, fx=fx)
             log.clouds.append(CloudEvent(t - 1e-4, pts, valid))
             boxes, cids, probs = [], [], []
             for obj in objects:
-                bb = project_bbox(gt[i], obj, cam_pitch, H=H, W=W)
+                bb = project_bbox(gt[i], obj, cam_pitch, H=H, W=W, fx=fx)
                 if bb is not None:
                     boxes.append(bb)
                     cids.append(obj.class_id)
