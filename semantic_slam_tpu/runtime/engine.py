@@ -253,6 +253,13 @@ class SlamEngine:
             self.robot_pose = est
             self.map2odom = _np_pose_mul(est, _np_pose_inv(last.odom))
 
+        from semantic_slam_tpu.utils.profiling import log_optimize
+
+        log_optimize(
+            self.cfg.verbose, stats, solve_s,
+            int(self.graph.num_poses) + int(self.graph.num_landmarks),
+            int(self.graph.num_edges()),
+        )
         self.stats_history.append(
             {
                 "iterations": iters,
