@@ -33,6 +33,10 @@ def tpu_ms_per_iter():
     import jax
     import jax.numpy as jnp
 
+    from semantic_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _build_graph
     from semantic_slam_tpu.solver import lm as lm_mod
 

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""End-to-end pipeline throughput: keyframes/s per chip (BASELINE.md).
+
+Replays a synthetic session at full 640x480 resolution through the complete
+engine (frontend + association + graph + solver) and reports keyframes/s
+plus a per-stage time breakdown. Not the driver bench (that's ../bench.py);
+this is the engineering view for finding bottlenecks.
+
+Usage: python benchmarks/pipeline_bench.py [--steps N] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--profile", default="bucket_detector_workspace")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from semantic_slam_tpu.config import PROFILES
+    from semantic_slam_tpu.io import replay as replay_mod
+    from semantic_slam_tpu.io import synthetic as synth_mod
+    from semantic_slam_tpu.runtime.engine import SlamEngine
+    from semantic_slam_tpu.utils.profiling import Metrics
+
+    cfg = PROFILES[args.profile].replace(camera_angle_deg=0.0)
+
+    print(f"generating {args.steps}-step session at {args.width}x{args.height}...")
+    log = synth_mod.make_synthetic_log(
+        seed=1, n_steps=args.steps, sensor_every=3, drift_noise=0.006,
+        loops=max(args.steps / 240, 1.0), H=args.height, W=args.width,
+    )
+
+    engine = SlamEngine(cfg)
+    m = Metrics()
+
+    # instrument the engine stages
+    orig_proc = engine._process_keyframe_with_detections
+
+    def proc(kf, prev_odom, has_prev):
+        with m.scope("frontend+assoc"):
+            orig_proc(kf, prev_odom, has_prev)
+
+    engine._process_keyframe_with_detections = proc
+
+    # warmup compile: feed a few events first
+    t0 = time.perf_counter()
+    replay_mod.replay(log, engine)
+    wall = time.perf_counter() - t0
+
+    n_kf = len(engine.keyframes)
+    solve_s = sum(s["solve_seconds"] for s in engine.stats_history)
+    opt_calls = len(engine.stats_history)
+    iters = sum(s["iterations"] for s in engine.stats_history)
+    summary = {
+        "device": str(jax.devices()[0]),
+        "keyframes": n_kf,
+        "landmarks": int(engine.table.count),
+        "edges": int(engine.graph.num_edges()),
+        "wall_s": round(wall, 3),
+        "keyframes_per_s": round(n_kf / wall, 3),
+        "solve_total_s": round(solve_s, 3),
+        "solve_calls": opt_calls,
+        "lm_iters_total": iters,
+        "frontend_assoc": m.summary().get("frontend+assoc"),
+        "other_s": round(wall - solve_s - m.totals.get("frontend+assoc", 0.0), 3),
+    }
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,71 +84,117 @@ def associate(
     strict_frames: bool = True,
     rtabmap_y_offset: bool = False,
 ) -> tuple[LandmarkTable, AssocResult]:
+    """Vectorized association with exact sequential-table semantics.
+
+    Instead of a lax.scan over detections (hostile per-step overhead on
+    TPU), all distances are precomputed in two dense blocks:
+
+      * ``d_exist [M,L]`` — every detection vs every existing landmark
+        (Mahalanobis uses the per-landmark marginal + Q),
+      * ``d_intra [M,M]`` — every detection vs every EARLIER detection
+        treated as a freshly created landmark (whose covariance is Q, so
+        Mahalanobis uses (Q+Q)^-1) — the reference's grow-inside-the-loop
+        behavior (data_association.h:237-276).
+
+    The only sequential part left is the boolean recurrence "did detection
+    j become a new landmark" — an unrolled M-step loop over [M] vectors.
+    Ties/ordering match the reference: candidate order is existing table
+    first, then intra-frame news in detection order, first minimum wins.
+    """
     dtype = table.world.dtype
     L = table.capacity
-    first_frame = table.count == 0
+    M = dets.valid.shape[0]
+    count0 = table.count
+    first_frame = count0 == 0
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-    # Pre-compute world/robot-frame measurements for all detections at once
-    # (pure rotations + adds — vectorized over M).
+    # Pre-compute world/robot-frame measurements for all detections at once.
     w_all = frames.convert_pose_to_world(
         robot_xyzrpy, cam_angle, dets.pose_cam, strict=strict_frames,
         rtabmap_y_offset=rtabmap_y_offset,
-    )
+    ).astype(dtype)
     n_all = frames.convert_normal_to_world(
         robot_xyzrpy, cam_angle, dets.normal_cam, strict=strict_frames
-    )
-    local_all = frames.convert_cam_to_robot(cam_angle, dets.pose_cam)
+    ).astype(dtype)
+    local_all = frames.convert_cam_to_robot(cam_angle, dets.pose_cam).astype(dtype)
 
     Q_meas = jnp.eye(3, dtype=dtype) * land_noise
+    thres = jnp.where(use_maha, maha_thres, eq_thres).astype(dtype)
 
-    def step(tab: LandmarkTable, inp):
-        det_valid, cid, ptype, w, n4 = inp
+    # --- detections vs existing landmarks: [M, L] ------------------------
+    active = table.mask()
+    type_ok = (
+        active[None, :]
+        & (table.class_id[None, :] == dets.class_id[:, None])
+        & (table.plane_type[None, :] == dets.plane_type[:, None])
+    )
+    z = w_all[:, None, :] - table.world[None, :, :]  # [M, L, 3]
+    d_eq = jnp.linalg.norm(z, axis=-1)
+    Qm_inv = inv33(table.cov + Q_meas[None])  # [L, 3, 3]
+    d_maha = jnp.einsum("mli,lij,mlj->ml", z, Qm_inv, z)
+    d_exist = jnp.where(use_maha, d_maha, d_eq)
+    d_exist = jnp.where(type_ok & (~first_frame), d_exist, big)
 
-        active = tab.mask()
-        type_ok = active & (tab.class_id == cid) & (tab.plane_type == ptype)
+    # --- detections vs earlier in-frame detections-as-landmarks: [M, M] --
+    dz = w_all[:, None, :] - w_all[None, :, :]
+    d_eq2 = jnp.linalg.norm(dz, axis=-1)
+    twoQ_inv = inv33(2.0 * Q_meas)
+    d_maha2 = jnp.einsum("mni,ij,mnj->mn", dz, twoQ_inv, dz)
+    d_intra_raw = jnp.where(use_maha, d_maha2, d_eq2)
+    earlier = jnp.tril(jnp.ones((M, M), bool), k=-1)
+    pair_type_ok = (
+        earlier
+        & dets.valid[None, :]
+        & (dets.class_id[None, :] == dets.class_id[:, None])
+        & (dets.plane_type[None, :] == dets.plane_type[:, None])
+    ) & (~first_frame)
 
-        z = w[None, :] - tab.world  # [L, 3]
-        d_eq = jnp.linalg.norm(z, axis=-1)
-        Qm = tab.cov + Q_meas[None]
-        d_maha = jnp.einsum("li,lij,lj->l", z, inv33(Qm), z)
-        d = jnp.where(use_maha, d_maha, d_eq)
-        thres = jnp.where(use_maha, maha_thres, eq_thres)
-
-        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        d = jnp.where(type_ok, d, big)
-        nearest = jnp.argmin(d)
-        dmin = d[nearest]
-        found = jnp.any(type_ok) & (~first_frame)
-
-        matched = found & (dmin <= thres)
-        make_new = det_valid & (~matched)
-        new_id = tab.count
-        lm_id = jnp.where(matched, nearest.astype(jnp.int32), new_id)
-
-        def write_new(t: LandmarkTable) -> LandmarkTable:
-            return LandmarkTable(
-                world=t.world.at[new_id].set(w.astype(dtype)),
-                cov=t.cov.at[new_id].set(Q_meas),
-                class_id=t.class_id.at[new_id].set(cid),
-                plane_type=t.plane_type.at[new_id].set(ptype),
-                normal=t.normal.at[new_id].set(n4.astype(dtype)),
-                count=t.count + 1,
-            )
-
-        tab = jax.tree.map(
-            lambda a, b: jnp.where(make_new, a, b), write_new(tab), tab
+    # --- sequential recurrence: which detections become new landmarks ----
+    # unrolled (M is small and static); each step is a few [M]/[L] vector ops
+    is_new = jnp.zeros((M,), bool)
+    min_exist = jnp.min(d_exist, axis=1)  # [M]
+    any_exist = jnp.any(type_ok & (~first_frame), axis=1)  # [M]
+    for i in range(M):
+        cand_i = pair_type_ok[i] & is_new  # earlier dets that became new
+        found = any_exist[i] | jnp.any(cand_i)
+        dmin = jnp.minimum(
+            min_exist[i], jnp.min(jnp.where(cand_i, d_intra_raw[i], big))
         )
-        return tab, (lm_id, make_new)
+        matched = found & (dmin <= thres)
+        is_new = is_new.at[i].set(dets.valid[i] & jnp.logical_not(matched))
 
-    inputs = (dets.valid, dets.class_id, dets.plane_type, w_all, n_all)
-    table, (lm_ids, news) = jax.lax.scan(step, table, inputs)
+    # --- landmark ids ----------------------------------------------------
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # [M]
+    new_ids = count0 + new_rank
+    # joint candidate row: [L existing..., M intra in detection order]
+    d_intra = jnp.where(pair_type_ok & is_new[None, :], d_intra_raw, big)
+    all_d = jnp.concatenate([d_exist, d_intra], axis=1)  # [M, L+M]
+    best = jnp.argmin(all_d, axis=1)
+    intra_best = best >= L
+    matched_id = jnp.where(
+        intra_best, count0 + new_rank[jnp.clip(best - L, 0, M - 1)], best
+    ).astype(jnp.int32)
+    lm_id = jnp.where(is_new, new_ids, matched_id)
+
+    # --- vectorized table update (out-of-bounds scatter drops) -----------
+    tgt = jnp.where(is_new, new_ids, L)  # L == drop slot
+    table = LandmarkTable(
+        world=table.world.at[tgt].set(w_all, mode="drop"),
+        cov=table.cov.at[tgt].set(
+            jnp.broadcast_to(Q_meas, (M, 3, 3)), mode="drop"
+        ),
+        class_id=table.class_id.at[tgt].set(dets.class_id, mode="drop"),
+        plane_type=table.plane_type.at[tgt].set(dets.plane_type, mode="drop"),
+        normal=table.normal.at[tgt].set(n_all, mode="drop"),
+        count=count0 + jnp.sum(is_new.astype(jnp.int32)),
+    )
 
     return table, AssocResult(
         valid=dets.valid,
-        lm_id=lm_ids,
-        is_new=news,
-        local_pose=local_all.astype(dtype),
-        world_pose=w_all.astype(dtype),
+        lm_id=lm_id,
+        is_new=is_new,
+        local_pose=local_all,
+        world_pose=w_all,
     )
 
 

@@ -24,7 +24,7 @@ from typing import Iterator
 import jax.numpy as jnp
 import numpy as np
 
-from semantic_slam_tpu.core import frames
+from semantic_slam_tpu.core import np_geometry as npg
 
 
 @dataclasses.dataclass
@@ -80,28 +80,26 @@ class ReplayLog:
 
 
 def apply_odom_fixup(ev: OdomEvent, ctx: dict) -> tuple[np.ndarray, np.ndarray]:
-    """Per-source frame fixup; returns (pose7, cov6x6)."""
-    p = jnp.asarray(ev.pose7, jnp.float64)
+    """Per-source frame fixup; returns (pose7, cov6x6). Pure numpy — this
+    runs per message on the host ingestion path."""
+    p = np.asarray(ev.pose7, np.float64)
     if ev.source == "rovio":
-        out = np.asarray(p)
+        out = p
         cov = ev.cov if ev.cov is not None else np.eye(6)
     elif ev.source == "snap":
-        out = np.asarray(frames.pose_ned_to_enu(p))
+        out = npg.pose_ned_to_enu(p)
         cov = np.eye(6)  # snap path fabricates identity (:138-139)
     elif ev.source == "jackal":
         if "first_yaw" not in ctx:
-            from semantic_slam_tpu.core import geometry as geo
-
-            ctx["first_yaw"] = float(geo.quat_to_rpy(p[3:])[2])
-        rotated = np.asarray(frames.rot_pose_z(p, ctx["first_yaw"]))
+            ctx["first_yaw"] = float(npg.quat_to_rpy(p[3:])[2])
+        rotated = npg.rot_pose_z(p, ctx["first_yaw"])
         if "origin_t" not in ctx:
             ctx["origin_t"] = rotated[:3].copy()
-        out = np.asarray(
-            frames.rebase_to_origin(jnp.asarray(rotated), jnp.asarray(ctx["origin_t"]))
-        )
+        out = rotated.copy()
+        out[:3] -= ctx["origin_t"]
         cov = np.eye(6)
     elif ev.source == "orb":
-        out = np.asarray(frames.pose_cam_to_robot_odom(p))
+        out = npg.pose_cam_to_robot_odom(p)
         cov = np.eye(6)
     else:
         raise ValueError(f"unknown odom source {ev.source!r}")

@@ -13,10 +13,9 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 
-from semantic_slam_tpu.core import frames, geometry as geo
+from semantic_slam_tpu.core import np_geometry as npg
 from semantic_slam_tpu.io.replay import (
     CloudEvent,
     DetectionEvent,
@@ -64,7 +63,7 @@ def circle_trajectory(n: int, radius: float = 1.2, center=(1.2, 1.2), z: float =
         x = center[0] + radius * np.cos(th)
         y = center[1] + radius * np.sin(th)
         yaw = th + np.pi / 2
-        q = np.asarray(geo.rpy_to_quat(jnp.asarray([0.0, 0.0, yaw])))
+        q = npg.rpy_to_quat(np.array([0.0, 0.0, yaw]))
         out.append(np.concatenate([[x, y, z], q]))
     return np.stack(out)
 
@@ -79,8 +78,8 @@ def render_cloud(
     max_depth: float = 8.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Ray-cast the planar objects into an organized cam-frame cloud."""
-    xyzrpy = np.asarray(geo.pose_to_xyzrpy(jnp.asarray(robot_pose7)))
-    T = np.asarray(frames.t_cam_world(jnp.asarray(xyzrpy), cam_pitch))
+    xyzrpy = npg.pose_to_xyzrpy(robot_pose7)
+    T = npg.t_cam_world(xyzrpy, cam_pitch)
     R_cw = T[:3, :3]  # cam -> world rotation
     t_w = robot_pose7[:3]
 
@@ -121,8 +120,8 @@ def project_bbox(
     fx: float = 300.0,
 ) -> np.ndarray | None:
     """Project the object's rectangle corners -> image bbox (the fake detector)."""
-    xyzrpy = np.asarray(geo.pose_to_xyzrpy(jnp.asarray(robot_pose7)))
-    T = np.asarray(frames.t_cam_world(jnp.asarray(xyzrpy), cam_pitch))
+    xyzrpy = npg.pose_to_xyzrpy(robot_pose7)
+    T = npg.t_cam_world(xyzrpy, cam_pitch)
     R_wc = T[:3, :3].T
     t_w = robot_pose7[:3]
     ub, vb = obj.basis()
@@ -184,15 +183,11 @@ def make_synthetic_log(
     for i in range(n_steps):
         t = i * dt
         if i > 0:
-            rel = np.asarray(
-                geo.pose_mul(geo.pose_inv(jnp.asarray(gt[i - 1])), jnp.asarray(gt[i]))
-            )
+            rel = npg.pose_mul(npg.pose_inv(gt[i - 1]), gt[i])
             noise = rng.normal(size=6) * drift_noise
             noise[3:] *= 0.1
-            rel_noisy = np.asarray(
-                geo.pose_retract(jnp.asarray(rel), jnp.asarray(noise))
-            )
-            vio = np.asarray(geo.pose_mul(jnp.asarray(vio), jnp.asarray(rel_noisy)))
+            rel_noisy = npg.pose_retract(rel, noise)
+            vio = npg.pose_mul(vio, rel_noisy)
         if i % sensor_every == 0:
             pts, valid = render_cloud(gt[i], objects, cam_pitch, H=H, W=W, fx=fx)
             log.clouds.append(CloudEvent(t - 1e-4, pts, valid))

@@ -3,15 +3,17 @@
 TPU re-design of ``class semantic_graph_slam``
 (``/root/reference/src/ps_graph_slam/semantic_graph_slam.cpp``). The host
 drives a thin sequential loop (VIO gating, latest-wins sensor pairing,
-queue bookkeeping — inherently serial, kept off the device), while all
-wide work runs in a handful of jitted device programs:
+queue bookkeeping — inherently serial, kept off the device and written in
+pure numpy), while device work is batched into exactly TWO jitted programs
+per keyframe/tick to amortize dispatch latency:
 
-  * ``segment_all``        — frontend planes for one keyframe's cloud
-  * ``associate``          — landmark matching against the device table
-  * ``_ingest_keyframe``   — SE3 node + odometry edge append
-  * ``_ingest_landmarks``  — masked scan adding landmark nodes/edges
-  * ``lm_optimize``        — full-batch Schur LM (the dominant cost)
-  * ``landmark_marginals`` — covariance recovery for Mahalanobis gating
+  * ``_process_keyframe``  — node+odom-edge append, full frontend
+    (integral-image normals + batched plane extraction), association scan,
+    and landmark node/edge ingestion, fused into ONE device program.
+    (A cheap ``_ingest_keyframe`` variant serves detection-less keyframes.)
+  * ``_optimize_tick``     — Schur-LM optimize + landmark marginal recovery
+    + table sync + a packed stats vector, fused into ONE device program;
+    results come back in a single host fetch.
 
 Reference behaviors reproduced (file:line cited inline): keyframe nodes are
 initialised from raw VIO odometry, not the corrected pose (:121); odometry
@@ -38,10 +40,18 @@ import numpy as np
 from semantic_slam_tpu.assoc import association as assoc_mod
 from semantic_slam_tpu.config import CLASS_TO_ID, PLANE_VERTICAL, SlamConfig
 from semantic_slam_tpu.core import geometry as geo
+from semantic_slam_tpu.core import np_geometry as npg
+from semantic_slam_tpu.frontend import normals as nrm_mod
+from semantic_slam_tpu.frontend import planes as planes_mod
 from semantic_slam_tpu.frontend import segmentation as seg_mod
 from semantic_slam_tpu.graph import state as gs
 from semantic_slam_tpu.runtime.keyframe_gate import KeyframeGate
 from semantic_slam_tpu.solver import lm as lm_mod
+
+# host-path pose math is pure numpy: a jnp op here would be a device
+# dispatch per VIO message (ruinous through a remote-TPU tunnel)
+_np_pose_mul = npg.pose_mul
+_np_pose_inv = npg.pose_inv
 
 
 @dataclasses.dataclass
@@ -50,19 +60,11 @@ class KeyframeMeta:
     odom: np.ndarray  # pose7
     robot_pose: np.ndarray  # pose7 snapshot at creation
     accum_distance: float
-    cloud: tuple[jax.Array, jax.Array] | None  # (points [H,W,3], valid)
+    cloud: tuple[np.ndarray, np.ndarray] | None  # host (points [H,W,3], valid)
     boxes: np.ndarray | None  # [D,4]
     class_ids: np.ndarray | None
     probs: np.ndarray | None
     node_idx: int | None = None
-
-
-def _np_pose_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.asarray(geo.pose_mul(jnp.asarray(a), jnp.asarray(b)))
-
-
-def _np_pose_inv(a: np.ndarray) -> np.ndarray:
-    return np.asarray(geo.pose_inv(jnp.asarray(a)))
 
 
 @jax.jit
@@ -74,32 +76,211 @@ def _ingest_keyframe(graph: gs.GraphState, odom7, prev_odom7, has_prev, info6):
     return graph, idx
 
 
-@jax.jit
-def _ingest_landmarks(graph: gs.GraphState, valid, lm_id, is_new, local, world, kf_idx, info3):
-    """Masked scan: add new landmark nodes + observation edges.
+def _ingest_landmarks_impl(graph: gs.GraphState, valid, lm_id, is_new, local, world, kf_idx, info3):
+    """Vectorized masked append of landmark nodes + observation edges.
 
     Invariant: association assigns new landmark ids sequentially from the
     table count, which equals graph.num_landmarks — so node indices match
     table ids by construction (the analog of assignLandmarkNode,
-    data_association.h:391-393).
+    data_association.h:391-393). Non-selected rows scatter out of bounds
+    and drop.
     """
+    M = valid.shape[0]
+    L = graph.landmarks.shape[0]
+    E2 = graph.lme_k.shape[0]
 
-    def step(g, inp):
-        v, lid, new, loc, wp = inp
-        g_new, _ = gs.add_point_node(g, wp)
-        g = jax.tree.map(lambda a, b: jnp.where(v & new, a, b), g_new, g)
-        g_edge = gs.add_se3_point_edge(g, kf_idx, lid, loc, info3)
-        g = jax.tree.map(lambda a, b: jnp.where(v, a, b), g_edge, g)
-        return g, None
+    new = valid & is_new
+    node_idx = graph.num_landmarks + jnp.cumsum(new.astype(jnp.int32)) - 1
+    lm_tgt = jnp.where(new, node_idx, L)
+    landmarks = graph.landmarks.at[lm_tgt].set(
+        world.astype(graph.landmarks.dtype), mode="drop"
+    )
 
-    graph, _ = jax.lax.scan(step, graph, (valid, lm_id, is_new, local, world))
-    return graph
+    edge_idx = graph.num_lme + jnp.cumsum(valid.astype(jnp.int32)) - 1
+    e_tgt = jnp.where(valid, edge_idx, E2)
+    kf_col = jnp.full((M,), 0, jnp.int32) + jnp.asarray(kf_idx, jnp.int32)
+    return graph._replace(
+        landmarks=landmarks,
+        num_landmarks=graph.num_landmarks + jnp.sum(new.astype(jnp.int32)),
+        lme_k=graph.lme_k.at[e_tgt].set(kf_col, mode="drop"),
+        lme_l=graph.lme_l.at[e_tgt].set(lm_id.astype(jnp.int32), mode="drop"),
+        lme_meas=graph.lme_meas.at[e_tgt].set(
+            local.astype(graph.lme_meas.dtype), mode="drop"
+        ),
+        lme_info=graph.lme_info.at[e_tgt].set(
+            jnp.broadcast_to(info3.astype(graph.lme_info.dtype), (M, 3, 3)),
+            mode="drop",
+        ),
+        num_lme=graph.num_lme + jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
+_ingest_landmarks = jax.jit(_ingest_landmarks_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "samp_h", "samp_w", "max_planes", "num_hypotheses", "smoothing_size",
+        "strict_frames", "use_rtabmap_offset",
+    ),
+)
+def _process_keyframe(
+    graph: gs.GraphState,
+    table: assoc_mod.LandmarkTable,
+    # keyframe ingestion
+    odom7,
+    prev_odom7,
+    has_prev,
+    info6,
+    # sensors
+    points,
+    cloud_valid,
+    boxes,
+    class_ids,
+    probs,
+    robot_xyzrpy,
+    cam_angle,
+    # segmentation params
+    num_point_seg,
+    norm_point_thres,
+    planar_area,
+    distance_thres,
+    cos_angular_thres,
+    # association params
+    use_maha,
+    maha_thres,
+    eq_thres,
+    land_noise,
+    lm_info3,
+    samp_h: int,
+    samp_w: int,
+    max_planes: int,
+    num_hypotheses: int,
+    smoothing_size: int,
+    strict_frames: bool,
+    use_rtabmap_offset: bool,
+):
+    """ONE device program per detection-bearing keyframe: node+edge append,
+    frontend, association, landmark ingestion."""
+    graph, kf_idx = gs.add_se3_node(graph, odom7)
+    meas = geo.pose_mul(geo.pose_inv(prev_odom7), odom7)
+    with_edge = gs.add_se3_edge(graph, kf_idx - 1, kf_idx, meas, info6)
+    graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
+
+    dets = seg_mod.segment_all(
+        points,
+        cloud_valid,
+        boxes,
+        class_ids,
+        probs,
+        robot_xyzrpy,
+        cam_angle,
+        num_point_seg=num_point_seg,
+        norm_point_thres=norm_point_thres,
+        planar_area=planar_area,
+        distance_thres=distance_thres,
+        cos_angular_thres=cos_angular_thres,
+        samp_h=samp_h,
+        samp_w=samp_w,
+        max_planes=max_planes,
+        num_hypotheses=num_hypotheses,
+        smoothing_size=smoothing_size,
+        strict_frames=strict_frames,
+    )
+
+    table, res = assoc_mod.associate(
+        table,
+        dets,
+        robot_xyzrpy,
+        cam_angle,
+        use_maha,
+        maha_thres,
+        eq_thres,
+        land_noise,
+        strict_frames=strict_frames,
+        rtabmap_y_offset=use_rtabmap_offset,
+    )
+
+    graph = _ingest_landmarks_impl(
+        graph, res.valid, res.lm_id, res.is_new, res.local_pose, res.world_pose,
+        kf_idx, lm_info3,
+    )
+    return graph, table, dets
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "min_edges", "rel_tol"),
+)
+def _optimize_tick(
+    graph: gs.GraphState,
+    table: assoc_mod.LandmarkTable,
+    marginals,
+    last_idx,
+    max_iterations: int,
+    min_edges: int,
+    rel_tol: float,
+):
+    """ONE device program per tick: LM optimize, marginal recovery, table
+    sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
+    lax.cond so empty ticks are nearly free."""
+
+    def do_opt(operand):
+        g, t, marg = operand
+        g2, stats = lm_mod.lm_optimize(
+            g, max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol
+        )
+        marg2 = lm_mod.landmark_marginals(g2)
+        has_lms = t.count > 0
+        t2 = assoc_mod.sync_from_graph(t, g2.landmarks, marg2)
+        t2 = jax.tree.map(lambda a, b: jnp.where(has_lms, a, b), t2, t)
+        marg2 = jnp.where(has_lms, marg2, marg)
+        return g2, t2, marg2, stats
+
+    def skip(operand):
+        g, t, marg = operand
+        stats = lm_mod.LMStats(
+            iterations=jnp.zeros((), jnp.int32),
+            chi2_initial=jnp.zeros((), g.poses.dtype),
+            chi2_final=jnp.zeros((), g.poses.dtype),
+            lambda_final=jnp.zeros((), g.poses.dtype),
+        )
+        return g, t, marg, stats
+
+    run = graph.num_edges() >= min_edges
+    graph, table, marginals, stats = jax.lax.cond(
+        run, do_opt, skip, (graph, table, marginals)
+    )
+
+    dtype = graph.poses.dtype
+    info = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    stats.iterations.astype(dtype),
+                    stats.chi2_initial.astype(dtype),
+                    stats.chi2_final.astype(dtype),
+                    stats.lambda_final.astype(dtype),
+                    graph.num_poses.astype(dtype),
+                    graph.num_landmarks.astype(dtype),
+                    graph.num_odom.astype(dtype),
+                    graph.num_lme.astype(dtype),
+                ]
+            ),
+            graph.poses[last_idx],  # optimized last-keyframe estimate
+        ]
+    )
+    return graph, table, marginals, info
 
 
 class SlamEngine:
     """Single-session engine; feed with ``vio_callback``/``set_*`` then ``run()``."""
 
     def __init__(self, config: SlamConfig):
+        from semantic_slam_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = config
         self.dtype = jnp.float64 if config.solver.dtype == "float64" else jnp.float32
         cap = config.capacity
@@ -119,7 +300,7 @@ class SlamEngine:
         self.map2odom = ident.copy()
         self.first_key_added = False
 
-        self._cloud: tuple[jax.Array, jax.Array] | None = None
+        self._cloud: tuple[np.ndarray, np.ndarray] | None = None
         self._cloud_available = False
         self._dets: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._det_available = False
@@ -130,21 +311,54 @@ class SlamEngine:
             jnp.eye(3, dtype=self.dtype), (cap.max_landmarks, 1, 1)
         )
 
+        # host mirrors of device counts (kept exact via the per-tick stats
+        # fetch; used for capacity checks without forcing device syncs)
+        self._n_poses = 0
+        self._n_landmarks = 0
+        self._n_odom = 0
+        self._n_lme = 0
+
         # trajectories for ATE (robot @ VIO rate + per-keyframe VIO pose),
         # mirroring robot_pose_vec_ / vio_key_pose_vec_ bookkeeping
         self.robot_traj: list[tuple[float, np.ndarray]] = []
         self.vio_traj: list[tuple[float, np.ndarray]] = []
         self.stats_history: list[dict[str, Any]] = []
+        self.last_detected_objects = None
 
-        # constant information matrices
+        # constant parameters staged to the device ONCE (each jnp.asarray at
+        # call time would be a separate transfer/dispatch round trip)
         inf = config.information
-        self._info6 = jnp.diag(
-            jnp.asarray(
-                [1.0 / inf.const_stddev_x] * 3 + [1.0 / inf.const_stddev_q] * 3,
-                self.dtype,
+        npdt = np.float64 if config.solver.dtype == "float64" else np.float32
+        self._npdt = npdt
+        self._info6 = jax.device_put(
+            np.diag(
+                np.asarray(
+                    [1.0 / inf.const_stddev_x] * 3 + [1.0 / inf.const_stddev_q] * 3,
+                    npdt,
+                )
             )
         )
-        self._lm_info3 = jnp.eye(3, dtype=self.dtype) / config.association.land_noise_low
+        self._lm_info3 = jax.device_put(
+            (np.eye(3) / config.association.land_noise_low).astype(npdt)
+        )
+        seg = config.segmentation
+        a = config.association
+        self._seg_params = {
+            "num_point_seg": jax.device_put(npdt(seg.num_point_seg)),
+            "norm_point_thres": jax.device_put(npdt(seg.norm_point_thres)),
+            "planar_area": jax.device_put(npdt(seg.planar_area)),
+            "distance_thres": jax.device_put(npdt(seg.distance_thres)),
+            "cos_angular_thres": jax.device_put(
+                npdt(np.cos(np.deg2rad(seg.angular_thres_deg)))
+            ),
+        }
+        self._assoc_params = (
+            jax.device_put(np.bool_(a.use_maha_dist)),
+            jax.device_put(npdt(a.maha_dist_thres)),
+            jax.device_put(npdt(a.eq_dist_thres)),
+            jax.device_put(npdt(a.land_noise_low)),
+        )
+        self._cam_angle_dev = jax.device_put(npdt(config.camera_angle_rad))
 
         if config.add_first_lan:
             self.add_first_pose_and_landmark()
@@ -153,8 +367,10 @@ class SlamEngine:
     # sensor ingestion (latest-wins, semantic_graph_slam.cpp:342-364)
     # ------------------------------------------------------------------
 
-    def set_point_cloud(self, points: jax.Array, valid: jax.Array) -> None:
-        self._cloud = (points, valid)
+    def set_point_cloud(self, points, valid) -> None:
+        # stored host-side; transferred to device only if a keyframe with
+        # detections actually consumes it
+        self._cloud = (np.asarray(points), np.asarray(valid))
         self._cloud_available = True
 
     def set_detections(self, boxes: np.ndarray, class_ids: np.ndarray, probs: np.ndarray) -> None:
@@ -218,57 +434,68 @@ class SlamEngine:
         for kf in batch:
             has_prev = len(self.keyframes) > 0
             prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
-            self.graph, idx = _ingest_keyframe(
-                self.graph,
-                jnp.asarray(kf.odom, self.dtype),
-                jnp.asarray(prev_odom, self.dtype),
-                jnp.asarray(has_prev),
-                self._info6,
-            )
-            kf.node_idx = int(idx)
+            if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
+                self._process_keyframe_with_detections(kf, prev_odom, has_prev)
+            else:
+                self.graph, _ = _ingest_keyframe(
+                    self.graph,
+                    kf.odom.astype(self._npdt),
+                    np.asarray(prev_odom, self._npdt),
+                    has_prev,
+                    self._info6,
+                )
+            kf.node_idx = self._n_poses
+            self._n_poses += 1
+            if has_prev:
+                self._n_odom += 1
             self.keyframes.append(kf)
 
-            if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
-                self._process_detections(kf)
-
         t0 = time.perf_counter()
-        self.graph, stats = lm_mod.lm_optimize(
+        last_idx = self.keyframes[-1].node_idx
+        self.graph, self.table, self.marginals, info = _optimize_tick(
             self.graph,
+            self.table,
+            self.marginals,
+            np.int32(last_idx),
             max_iterations=self.cfg.solver.max_iterations,
             min_edges=self.cfg.solver.min_edges_to_optimize,
             rel_tol=self.cfg.solver.rel_decrease_tol,
         )
-        jax.block_until_ready(self.graph.poses)
+        info = np.asarray(info, np.float64)  # the single device->host fetch
         solve_s = time.perf_counter() - t0
 
-        iters = int(stats.iterations)
+        iters = int(info[0])
+        self._n_poses = int(info[4])
+        self._n_landmarks = int(info[5])
+        self._n_odom = int(info[6])
+        self._n_lme = int(info[7])
+
         if iters > 0:
-            if int(self.table.count) > 0:
-                self.marginals = lm_mod.landmark_marginals(self.graph)
-                self.table = assoc_mod.sync_from_graph(
-                    self.table, self.graph.landmarks, self.marginals
-                )
             last = self.keyframes[-1]
-            est = np.asarray(self.graph.poses[last.node_idx], np.float64)
-            self.robot_pose = est
+            est = info[8:15]
+            self.robot_pose = est.copy()
             self.map2odom = _np_pose_mul(est, _np_pose_inv(last.odom))
 
         from semantic_slam_tpu.utils.profiling import log_optimize
 
+        class _S:
+            iterations = iters
+            chi2_initial = info[1]
+            chi2_final = info[2]
+
         log_optimize(
-            self.cfg.verbose, stats, solve_s,
-            int(self.graph.num_poses) + int(self.graph.num_landmarks),
-            int(self.graph.num_edges()),
+            self.cfg.verbose, _S, solve_s,
+            self._n_poses + self._n_landmarks, self._n_odom + self._n_lme,
         )
         self.stats_history.append(
             {
                 "iterations": iters,
-                "chi2_initial": float(stats.chi2_initial),
-                "chi2_final": float(stats.chi2_final),
+                "chi2_initial": float(info[1]),
+                "chi2_final": float(info[2]),
                 "solve_seconds": solve_s,
-                "num_poses": int(self.graph.num_poses),
-                "num_landmarks": int(self.graph.num_landmarks),
-                "num_edges": int(self.graph.num_edges()),
+                "num_poses": self._n_poses,
+                "num_landmarks": self._n_landmarks,
+                "num_edges": self._n_odom + self._n_lme,
             }
         )
         self.first_key_added = True
@@ -276,10 +503,10 @@ class SlamEngine:
 
     # ------------------------------------------------------------------
 
-    def _process_detections(self, kf: KeyframeMeta) -> None:
+    def _process_keyframe_with_detections(self, kf: KeyframeMeta, prev_odom, has_prev) -> None:
         cfg = self.cfg
         seg = cfg.segmentation
-        points, valid = kf.cloud
+        a = cfg.association
         D = cfg.capacity.max_detections_per_frame
         boxes = np.zeros((D, 4), np.float64)
         cids = np.full((D,), -1, np.int32)
@@ -289,63 +516,47 @@ class SlamEngine:
         cids[:nd] = kf.class_ids[:nd]
         probs[:nd] = kf.probs[:nd]
 
-        robot_xyzrpy = np.asarray(
-            geo.pose_to_xyzrpy(jnp.asarray(kf.robot_pose, self.dtype))
-        )
-        dets = seg_mod.segment_all(
-            points.astype(self.dtype),
-            valid,
-            jnp.asarray(boxes, self.dtype),
-            jnp.asarray(cids),
-            jnp.asarray(probs, self.dtype),
-            jnp.asarray(robot_xyzrpy, self.dtype),
-            jnp.asarray(cfg.camera_angle_rad, self.dtype),
-            num_point_seg=jnp.asarray(seg.num_point_seg, self.dtype),
-            norm_point_thres=jnp.asarray(seg.norm_point_thres, self.dtype),
-            planar_area=jnp.asarray(seg.planar_area, self.dtype),
-            distance_thres=jnp.asarray(seg.distance_thres, self.dtype),
-            cos_angular_thres=jnp.asarray(
-                np.cos(np.deg2rad(seg.angular_thres_deg)), self.dtype
-            ),
+        robot_xyzrpy = npg.pose_to_xyzrpy(kf.robot_pose)
+        points, valid = kf.cloud
+        npdt = self._npdt
+
+        self.graph, self.table, dets = _process_keyframe(
+            self.graph,
+            self.table,
+            kf.odom.astype(npdt),
+            np.asarray(prev_odom, npdt),
+            has_prev,
+            self._info6,
+            np.asarray(points, npdt),
+            np.asarray(valid, bool),
+            boxes.astype(npdt),
+            cids,
+            probs.astype(npdt),
+            robot_xyzrpy.astype(npdt),
+            self._cam_angle_dev,
+            self._seg_params["num_point_seg"],
+            self._seg_params["norm_point_thres"],
+            self._seg_params["planar_area"],
+            self._seg_params["distance_thres"],
+            self._seg_params["cos_angular_thres"],
+            *self._assoc_params,
+            self._lm_info3,
             samp_h=seg.crop_height,
             samp_w=seg.crop_width,
             max_planes=seg.max_planes_per_detection,
             num_hypotheses=seg.num_hypotheses,
             smoothing_size=seg.normal_smoothing_size,
             strict_frames=cfg.strict_reference_frames,
+            use_rtabmap_offset=a.use_rtab_map_odom,
         )
         self.last_detected_objects = dets  # observability (seg_obj_vec_)
-
-        a = cfg.association
-        self.table, res = assoc_mod.associate(
-            self.table,
-            dets,
-            jnp.asarray(robot_xyzrpy, self.dtype),
-            jnp.asarray(cfg.camera_angle_rad, self.dtype),
-            jnp.asarray(a.use_maha_dist),
-            jnp.asarray(a.maha_dist_thres, self.dtype),
-            jnp.asarray(a.eq_dist_thres, self.dtype),
-            jnp.asarray(a.land_noise_low, self.dtype),
-            strict_frames=cfg.strict_reference_frames,
-            rtabmap_y_offset=a.use_rtab_map_odom,
-        )
-        self.graph = _ingest_landmarks(
-            self.graph,
-            res.valid,
-            res.lm_id,
-            res.is_new,
-            res.local_pose,
-            res.world_pose,
-            jnp.asarray(kf.node_idx, jnp.int32),
-            self._lm_info3,
-        )
 
     def add_first_pose_and_landmark(self) -> None:
         """Synthetic seed (semantic_graph_slam.cpp:289-332): identity keyframe
         + fixed 'bucket'/vertical landmark with 0.1 covariance."""
         cfg = self.cfg
         pose = np.array([cfg.first_lan_x, cfg.first_lan_y, cfg.first_lan_z])
-        lm = assoc_mod.LandmarkTable(
+        self.table = assoc_mod.LandmarkTable(
             world=self.table.world.at[0].set(jnp.asarray(pose, self.dtype)),
             cov=self.table.cov.at[0].set(jnp.eye(3, dtype=self.dtype) * 0.1),
             class_id=self.table.class_id.at[0].set(CLASS_TO_ID["bucket"]),
@@ -355,41 +566,43 @@ class SlamEngine:
             ),
             count=jnp.asarray(1, jnp.int32),
         )
-        self.table = lm
         ident = np.array([0, 0, 0, 1, 0, 0, 0], np.float64)
         self.graph, idx = _ingest_keyframe(
             self.graph,
-            jnp.asarray(ident, self.dtype),
-            jnp.asarray(ident, self.dtype),
-            jnp.asarray(False),
+            ident.astype(self._npdt),
+            ident.astype(self._npdt),
+            False,
             self._info6,
         )
         self.keyframes.append(
             KeyframeMeta(
                 stamp=0.0, odom=ident, robot_pose=ident, accum_distance=0.0,
-                cloud=None, boxes=None, class_ids=None, probs=None, node_idx=int(idx),
+                cloud=None, boxes=None, class_ids=None, probs=None, node_idx=0,
             )
         )
-        info3 = jnp.eye(3, dtype=self.dtype) / 0.1
+        info3 = jax.device_put((np.eye(3) / 0.1).astype(self._npdt))
         self.graph = _ingest_landmarks(
             self.graph,
-            jnp.asarray([True]),
-            jnp.asarray([0], jnp.int32),
-            jnp.asarray([True]),
-            jnp.asarray(pose[None, :], self.dtype),
-            jnp.asarray(pose[None, :], self.dtype),
-            jnp.asarray(idx, jnp.int32),
+            np.array([True]),
+            np.array([0], np.int32),
+            np.array([True]),
+            pose[None, :].astype(self._npdt),
+            pose[None, :].astype(self._npdt),
+            np.int32(0),
             info3,
         )
+        self._n_poses = 1
+        self._n_landmarks = 1
+        self._n_lme = 1
 
     def _ensure_capacity(self, batch: list[KeyframeMeta]) -> None:
-        """Host-side growth check; doubles capacities when the incoming batch
-        could overflow (a recompile point, SURVEY.md §7 'hard parts')."""
-        need_poses = int(self.graph.num_poses) + len(batch)
+        """Host-side growth check using count mirrors; doubles capacities when
+        the incoming batch could overflow (a recompile point)."""
         mpd = self.cfg.capacity.max_detections_per_frame * self.cfg.segmentation.max_planes_per_detection
-        need_lms = int(self.graph.num_landmarks) + mpd * len(batch)
-        need_oe = int(self.graph.num_odom) + len(batch)
-        need_le = int(self.graph.num_lme) + mpd * len(batch)
+        need_poses = self._n_poses + len(batch)
+        need_lms = self._n_landmarks + mpd * len(batch)
+        need_oe = self._n_odom + len(batch)
+        need_le = self._n_lme + mpd * len(batch)
         while (
             need_poses > self.graph.max_poses
             or need_oe > self.graph.odom_i.shape[0]
@@ -417,7 +630,7 @@ class SlamEngine:
 
     def get_keyframe_poses(self) -> np.ndarray:
         """Optimized keyframe trajectory [N,7]."""
-        n = int(self.graph.num_poses)
+        n = self._n_poses
         return np.asarray(self.graph.poses[:n], np.float64)
 
     def get_mapped_landmarks(self):
