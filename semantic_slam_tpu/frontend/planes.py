@@ -76,6 +76,14 @@ def extract_planes(
     S = num_hypotheses
     hyp_idx = (jnp.arange(S) * N) // S + N // (2 * S)
 
+    import os
+
+    from semantic_slam_tpu.frontend import pallas_kernels as pk
+
+    use_pallas = pk.use_pallas_default() and not os.environ.get(
+        "SEMANTIC_SLAM_TPU_NO_PALLAS"
+    )
+
     def round_body(assigned):
         cand = cand0 & jnp.logical_not(assigned)
 
@@ -84,20 +92,27 @@ def extract_planes(
         h_ok = cand[hyp_idx]
         h_d = -jnp.sum(h_nrm * h_pts, axis=-1)  # [S]
 
-        # distance of every point to every hypothesis plane: one MXU matmul
-        dist = jnp.abs(pts @ h_nrm.T + h_d[None, :])  # [N, S]
-        align = nrm @ h_nrm.T  # [N, S]
-        inl = (
-            (dist < distance_thres)
-            & (align > cos_angular_thres)
-            & cand[:, None]
-            & h_ok[None, :]
+        # per-hypothesis inlier counts: fused Pallas kernel on TPU (tiled
+        # VMEM matmuls, no [N,S] materialization), jnp fallback elsewhere
+        score_fn = pk.score_hypotheses_pallas if use_pallas else pk.score_hypotheses_ref
+        counts = score_fn(
+            pts, nrm, cand, h_nrm, h_d,
+            jnp.asarray(distance_thres, dtype), jnp.asarray(cos_angular_thres, dtype),
         )
-        counts = jnp.sum(inl, axis=0)  # [S]
+        counts = jnp.where(h_ok, counts, -1.0)  # invalid hypotheses lose
         best = jnp.argmax(counts)
 
+        # inlier mask of the winning hypothesis only ([N] ops)
+        nb, db = h_nrm[best], h_d[best]
+        inl_best = (
+            (jnp.abs(pts @ nb + db) < distance_thres)
+            & (nrm @ nb > cos_angular_thres)
+            & cand
+            & h_ok[best]
+        )
+
         # refine best hypothesis by PCA over its inliers
-        w = inl[:, best].astype(dtype)
+        w = inl_best.astype(dtype)
         c, C, n_in = _masked_pca(pts, w)
         n_ref, evals = linalg3.sym33_smallest_eig(C)
         # orient toward the camera (PCL convention for organized clouds)

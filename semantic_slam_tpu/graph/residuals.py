@@ -79,6 +79,51 @@ def se3_point_residual_jac(
 
 
 # ---------------------------------------------------------------------------
+# SE3 - plane edges (the reference's disabled EdgeSE3Plane, component 16)
+# ---------------------------------------------------------------------------
+
+
+def se3_plane_residual(pose: jax.Array, plane4: jax.Array, meas4: jax.Array) -> jax.Array:
+    """3-dof plane observation residual — the VPS-SLAM paper's plane-landmark
+    formulation that the reference release downgraded to point landmarks
+    (``include/g2o/edge_se3_plane.hpp:15-24``, registration commented out at
+    ``graph_slam.cpp:30-33``). Provided as an available edge type for the
+    full plane-adjustment upgrade path.
+
+    plane4 = [n (unit), d] in world; meas4 = plane observed in the sensor
+    frame. Prediction: world plane pulled into the sensor frame of ``pose``:
+      n_pred = R^T n,  d_pred = d + n . t
+    Error: tangent-plane rotation of the normal (cross-product small-angle
+    form, the first-order equivalent of g2o's azimuth/elevation ominus) plus
+    the offset difference.
+    """
+    n_w = plane4[..., :3]
+    d_w = plane4[..., 3]
+    R_t = geo.quat_to_rotmat(geo.quat_conj(pose[..., 3:]))
+    n_pred = jnp.einsum("...ij,...j->...i", R_t, n_w)
+    d_pred = d_w + jnp.einsum("...i,...i->...", n_w, pose[..., :3])
+    n_meas = meas4[..., :3]
+    e_rot = jnp.cross(n_pred, n_meas)
+    # project the rotation error onto two tangent directions of n_meas
+    ref = jnp.where(
+        jnp.abs(n_meas[..., 2:3]) < 0.9,
+        jnp.array([0.0, 0.0, 1.0], dtype=pose.dtype),
+        jnp.array([1.0, 0.0, 0.0], dtype=pose.dtype),
+    )
+    t1 = jnp.cross(n_meas, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(n_meas, t1)
+    return jnp.stack(
+        [
+            jnp.einsum("...i,...i->...", e_rot, t1),
+            jnp.einsum("...i,...i->...", e_rot, t2),
+            d_pred - meas4[..., 3],
+        ],
+        axis=-1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # chi2
 # ---------------------------------------------------------------------------
 
