@@ -113,7 +113,14 @@ class SolverConfig:
 
 @dataclasses.dataclass(frozen=True)
 class CapacityConfig:
-    """Static-shape capacities for device-resident graph state."""
+    """Static-shape capacities for device-resident graph state.
+
+    The engine starts at the ``initial_*`` sizes and doubles on demand
+    (each bucket compiles once, cached persistently) up to and past the
+    ``max_*`` values — maxima are pre-reserve hints, not hard limits.
+    Early-session solves therefore run on small dense systems instead of
+    paying the full-capacity cost from keyframe one.
+    """
 
     max_keyframes: int = 512
     max_landmarks: int = 128
@@ -121,6 +128,10 @@ class CapacityConfig:
     max_landmark_edges: int = 2048
     max_detections_per_frame: int = 8
     max_keyframes_per_update: int = 10  # semantic_graph_slam.cpp:18
+    initial_keyframes: int = 64
+    initial_landmarks: int = 32
+    initial_odom_edges: int = 64
+    initial_landmark_edges: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

@@ -284,11 +284,12 @@ class SlamEngine:
         self.cfg = config
         self.dtype = jnp.float64 if config.solver.dtype == "float64" else jnp.float32
         cap = config.capacity
-        self.graph = gs.make_graph(
-            cap.max_keyframes, cap.max_landmarks, cap.max_odom_edges,
-            cap.max_landmark_edges, dtype=self.dtype,
-        )
-        self.table = assoc_mod.make_table(cap.max_landmarks, dtype=self.dtype)
+        k0 = min(cap.initial_keyframes, cap.max_keyframes)
+        l0 = min(cap.initial_landmarks, cap.max_landmarks)
+        e10 = min(cap.initial_odom_edges, cap.max_odom_edges)
+        e20 = min(cap.initial_landmark_edges, cap.max_landmark_edges)
+        self.graph = gs.make_graph(k0, l0, e10, e20, dtype=self.dtype)
+        self.table = assoc_mod.make_table(l0, dtype=self.dtype)
         self.gate = KeyframeGate(
             config.keyframe.delta_trans, config.keyframe.delta_angle, config.keyframe.delta_time
         )
@@ -307,9 +308,7 @@ class SlamEngine:
 
         self.keyframe_queue: list[KeyframeMeta] = []
         self.keyframes: list[KeyframeMeta] = []
-        self.marginals = jnp.tile(
-            jnp.eye(3, dtype=self.dtype), (cap.max_landmarks, 1, 1)
-        )
+        self.marginals = jnp.tile(jnp.eye(3, dtype=self.dtype), (l0, 1, 1))
 
         # host mirrors of device counts (kept exact via the per-tick stats
         # fetch; used for capacity checks without forcing device syncs)
