@@ -49,9 +49,14 @@ def tpu_ms_per_iter():
     assert iters == ITERS, f"expected {ITERS} LM iterations, got {iters}"
 
     times = []
-    for _ in range(REPEATS):
+    for rep in range(REPEATS):
+        # perturb an input so each timed call is a distinct execution — some
+        # remote-TPU execution services memoize identical (program, args)
+        # calls, which would fake a near-zero time
+        g_rep = g._replace(poses=g.poses.at[1, 0].add(1e-6 * (rep + 1)))
+        jax.block_until_ready(g_rep.poses)
         t0 = time.perf_counter()
-        out, stats = lm_mod.lm_optimize(g, max_iterations=ITERS, rel_tol=0.0)
+        out, stats = lm_mod.lm_optimize(g_rep, max_iterations=ITERS, rel_tol=0.0)
         jax.block_until_ready(out.poses)
         times.append(time.perf_counter() - t0)
     best = min(times)

@@ -1,0 +1,393 @@
+"""Matrix-free Schur-complement LM with block-Jacobi preconditioned CG.
+
+The scalable solver path (SolverConfig.linear_solver='pcg'). The dense path
+(``lm.py``) assembles ``Hpp [6K,6K]`` and psums it across the mesh — O(K^2)
+bytes of collective traffic per iteration, which caps scaling. Here the
+reduced camera system is never materialized:
+
+  * linearization keeps PER-EDGE Hessian blocks (``H_ii/H_ij/H_jj`` for
+    odometry edges, ``H_kk/W_kl`` for observation edges) local to the shard
+    that owns the edge,
+  * the reduced-system operator  ``x -> (Hpp + lam I) x - W A^-1 W^T x``
+    is applied edge-wise with two collectives per matvec: a [3L] psum for
+    the landmark gather ``W^T x`` and a [6K] psum for the pose scatter —
+    ~13 KB of ICI traffic per CG step at K=512 instead of 37 MB,
+  * CG is preconditioned with the block-Jacobi inverse of the damped pose
+    diagonal (psum'd once per linearization),
+  * the same Nielsen gain-ratio LM loop as the dense path wraps it.
+
+Works single-chip (collective = identity) and under shard_map (collective =
+psum over the mesh axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_tpu.core import geometry as geo
+from semantic_slam_tpu.graph import residuals as res
+from semantic_slam_tpu.graph.state import GraphState
+from semantic_slam_tpu.solver.lm import LMStats, _free_masks, chi2_arrays, inv33
+
+
+class EdgeBlocks(NamedTuple):
+    """Per-shard edge-local Hessian blocks + psum'd small globals."""
+
+    # odometry edges (local shard)
+    oi: jax.Array
+    oj: jax.Array
+    H_ii: jax.Array  # [E1, 6, 6]
+    H_ij: jax.Array
+    H_jj: jax.Array
+    # observation edges (local shard)
+    lk: jax.Array
+    ll: jax.Array
+    H_kk: jax.Array  # [E2, 6, 6]
+    W_kl: jax.Array  # [E2, 6, 3]
+    # globals (already reduced across shards)
+    Hll: jax.Array  # [L, 3, 3]
+    gp: jax.Array  # [K, 6]
+    gl: jax.Array  # [L, 3]
+    diag: jax.Array  # [K, 6, 6]  pose diagonal blocks
+    chi2: jax.Array
+
+
+def build_edge_blocks(
+    poses,
+    landmarks,
+    odom_i,
+    odom_j,
+    odom_meas,
+    odom_info,
+    odom_mask,
+    lme_k,
+    lme_l,
+    lme_meas,
+    lme_info,
+    lme_mask,
+    allreduce: Callable,
+) -> EdgeBlocks:
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    dtype = poses.dtype
+
+    om = odom_mask.astype(dtype)
+    o_info = odom_info * om[:, None, None]
+    r_o, Ji, Jj = jax.vmap(res.se3_edge_residual_jac)(
+        poses[odom_i], poses[odom_j], odom_meas
+    )
+    JiT_O = jnp.einsum("eai,eab->eib", Ji, o_info)
+    JjT_O = jnp.einsum("eai,eab->eib", Jj, o_info)
+    H_ii = jnp.einsum("eia,eaj->eij", JiT_O, Ji)
+    H_ij = jnp.einsum("eia,eaj->eij", JiT_O, Jj)
+    H_jj = jnp.einsum("eia,eaj->eij", JjT_O, Jj)
+    g_i = jnp.einsum("eia,ea->ei", JiT_O, r_o)
+    g_j = jnp.einsum("eia,ea->ei", JjT_O, r_o)
+    chi_o = jnp.einsum("ea,eab,eb->", r_o, o_info, r_o)
+
+    lmm = lme_mask.astype(dtype)
+    l_info = lme_info * lmm[:, None, None]
+    r_l, Jp, Jl = jax.vmap(res.se3_point_residual_jac)(
+        poses[lme_k], landmarks[lme_l], lme_meas
+    )
+    JpT_O = jnp.einsum("eai,eab->eib", Jp, l_info)
+    JlT_O = jnp.einsum("eai,eab->eib", Jl, l_info)
+    H_kk = jnp.einsum("eia,eaj->eij", JpT_O, Jp)
+    W_kl = jnp.einsum("eia,eaj->eij", JpT_O, Jl)
+    H_ll_e = jnp.einsum("eia,eaj->eij", JlT_O, Jl)
+    g_k = jnp.einsum("eia,ea->ei", JpT_O, r_l)
+    g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
+    chi_l = jnp.einsum("ea,eab,eb->", r_l, l_info, r_l)
+
+    gp = jnp.zeros((K, 6), dtype).at[odom_i].add(g_i).at[odom_j].add(g_j)
+    gp = gp.at[lme_k].add(g_k)
+    gl = jnp.zeros((L, 3), dtype).at[lme_l].add(g_l)
+    Hll = jnp.zeros((L, 3, 3), dtype).at[lme_l].add(H_ll_e)
+    diag = (
+        jnp.zeros((K, 6, 6), dtype)
+        .at[odom_i].add(H_ii)
+        .at[odom_j].add(H_jj)
+        .at[lme_k].add(H_kk)
+    )
+
+    return EdgeBlocks(
+        oi=odom_i,
+        oj=odom_j,
+        H_ii=H_ii,
+        H_ij=H_ij,
+        H_jj=H_jj,
+        lk=lme_k,
+        ll=lme_l,
+        H_kk=H_kk,
+        W_kl=W_kl,
+        Hll=allreduce(Hll),
+        gp=allreduce(gp),
+        gl=allreduce(gl),
+        diag=allreduce(diag),
+        chi2=allreduce(chi_o + chi_l),
+    )
+
+
+def reduced_matvec(
+    eb: EdgeBlocks, Ainv: jax.Array, lam, pose_free, x: jax.Array, allreduce: Callable
+) -> jax.Array:
+    """Apply the damped reduced operator to x [K,6] (free rows only)."""
+    K = x.shape[0]
+    L = Ainv.shape[0]
+    dtype = x.dtype
+    x = x * pose_free[:, None]
+
+    # landmark gather: t = W^T x  (needs global reduction over shards)
+    t_loc = jnp.zeros((L, 3), dtype).at[eb.ll].add(
+        jnp.einsum("eij,ei->ej", eb.W_kl, x[eb.lk])
+    )
+    t = allreduce(t_loc)
+    z = jnp.einsum("lij,lj->li", Ainv, t)  # replicated
+
+    # pose scatter: edge-local contributions
+    u = jnp.zeros((K, 6), dtype)
+    xi, xj = x[eb.oi], x[eb.oj]
+    u = u.at[eb.oi].add(
+        jnp.einsum("eij,ej->ei", eb.H_ii, xi) + jnp.einsum("eij,ej->ei", eb.H_ij, xj)
+    )
+    u = u.at[eb.oj].add(
+        jnp.einsum("eji,ej->ei", eb.H_ij, xi) + jnp.einsum("eij,ej->ei", eb.H_jj, xj)
+    )
+    u = u.at[eb.lk].add(jnp.einsum("eij,ej->ei", eb.H_kk, x[eb.lk]))
+    u = u.at[eb.lk].add(-jnp.einsum("eij,ej->ei", eb.W_kl, z[eb.ll]))
+    u = allreduce(u)
+    u = u + lam * x
+    return u * pose_free[:, None]
+
+
+def pcg_solve(
+    eb: EdgeBlocks,
+    Ainv: jax.Array,
+    lam,
+    pose_free: jax.Array,
+    b: jax.Array,  # [K, 6]
+    allreduce: Callable,
+    max_cg_iters: int = 128,
+    tol: float = 1e-8,
+) -> jax.Array:
+    """Block-Jacobi preconditioned CG on the reduced camera system."""
+    dtype = b.dtype
+    pf = pose_free.astype(dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    Mdiag = eb.diag + lam * eye6[None]
+    Mdiag = Mdiag * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
+    Minv = jnp.linalg.inv(Mdiag)
+
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", Minv, r) * pf[:, None]
+
+    b = b * pf[:, None]
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (jnp.sum(r * r) > tol * b2) & (it < max_cg_iters)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = reduced_matvec(eb, Ainv, lam, pf, p, allreduce)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32)))
+    return x
+
+
+def run_lm_loop_pcg(
+    poses,
+    landmarks,
+    edge_args: tuple,
+    pose_free,
+    lm_free,
+    allreduce: Callable,
+    max_iterations: int,
+    rel_tol: float,
+    max_cg_iters: int = 128,
+    init_lambda_tau: float = 1e-5,
+):
+    """Nielsen-damped LM with the matrix-free PCG inner solver."""
+    dtype = poses.dtype
+    pf = pose_free.astype(dtype)
+    lmf = lm_free.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def chi2_fn(p, l):
+        return allreduce(chi2_arrays(p, l, *edge_args))
+
+    eb0 = build_edge_blocks(poses, landmarks, *edge_args, allreduce)
+    chi2_0 = eb0.chi2
+    diag_max = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(eb0.diag, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(eb0.Hll, axis1=-2, axis2=-1))),
+    )
+    lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
+
+    def solve(eb, lam):
+        A = eb.Hll + lam * eye3[None]
+        A = A * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
+        Ainv = inv33(A)
+        gl = eb.gl * lmf[:, None]
+        # b = -(gp - W A^-1 gl)
+        y = jnp.einsum("lij,lj->li", Ainv, gl)
+        c_loc = jnp.zeros_like(eb.gp).at[eb.lk].add(
+            jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll])
+        )
+        b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
+        dp = pcg_solve(eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters)
+        # back-substitute: dl = Ainv(-gl - W^T dp)
+        t_loc = jnp.zeros_like(gl).at[eb.ll].add(
+            jnp.einsum("eij,ei->ej", eb.W_kl, (dp * pf[:, None])[eb.lk])
+        )
+        t = allreduce(t_loc)
+        dl = jnp.einsum("lij,lj->li", Ainv, (-gl - t)) * lmf[:, None]
+        return dp, dl
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(carry):
+        p, l, lam, nu, it, done = carry
+        eb = build_edge_blocks(p, l, *edge_args, allreduce)
+        dp, dl = solve(eb, lam)
+        p_new = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
+        l_new = l + dl.astype(l.dtype)
+        chi2_new = chi2_fn(p_new, l_new)
+
+        delta = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
+        gvec = jnp.concatenate([eb.gp.reshape(-1), eb.gl.reshape(-1)])
+        pred = lam * jnp.dot(delta, delta) - jnp.dot(delta, gvec)
+        rho = (eb.chi2 - chi2_new) / jnp.maximum(pred, 1e-12)
+        finite = jnp.isfinite(chi2_new) & jnp.all(jnp.isfinite(delta))
+        accept = (rho > 0) & finite
+
+        p = jnp.where(accept, p_new, p)
+        l = jnp.where(accept, l_new, l)
+        lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, lam_acc, lam * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        converged = accept & (
+            (eb.chi2 - chi2_new) <= rel_tol * jnp.maximum(eb.chi2, 1e-12)
+        )
+        done = converged | (lam > 1e12)
+        return p, l, lam, nu, it + 1, done
+
+    init = (poses, landmarks, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    p, l, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return p, l, LMStats(it, chi2_0, chi2_fn(p, l), lam)
+
+
+def _edge_args(g: GraphState):
+    return (
+        g.odom_i,
+        g.odom_j,
+        g.odom_meas,
+        g.odom_info,
+        g.odom_mask(),
+        g.lme_k,
+        g.lme_l,
+        g.lme_meas,
+        g.lme_info,
+        g.lme_mask(),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol", "max_cg_iters"))
+def lm_optimize_pcg(
+    g: GraphState,
+    max_iterations: int = 64,
+    min_edges: int = 10,
+    rel_tol: float = 1e-6,
+    max_cg_iters: int = 128,
+):
+    """Single-chip matrix-free LM (drop-in for lm_optimize)."""
+    pose_free, lm_free = _free_masks(g)
+    poses, landmarks, stats = run_lm_loop_pcg(
+        g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
+        lambda x: x, max_iterations, rel_tol, max_cg_iters,
+    )
+    run = g.num_edges() >= min_edges
+    g = g._replace(
+        poses=jnp.where(run, poses, g.poses),
+        landmarks=jnp.where(run, landmarks, g.landmarks),
+    )
+    stats = LMStats(
+        iterations=jnp.where(run, stats.iterations, 0),
+        chi2_initial=stats.chi2_initial,
+        chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
+        lambda_final=stats.lambda_final,
+    )
+    return g, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "max_iterations", "min_edges", "rel_tol", "max_cg_iters"),
+)
+def sharded_lm_optimize_pcg(
+    g: GraphState,
+    mesh,
+    axis_name: str = "shard",
+    max_iterations: int = 64,
+    min_edges: int = 10,
+    rel_tol: float = 1e-6,
+    max_cg_iters: int = 128,
+):
+    """Edge-sharded matrix-free LM: ~[6K]+[3L] of psum traffic per CG step."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    assert g.odom_i.shape[0] % n == 0 and g.lme_k.shape[0] % n == 0
+
+    pose_free, lm_free = _free_masks(g)
+    edge_args = _edge_args(g)
+
+    def body(poses, landmarks, pose_free, lm_free, *edges):
+        return run_lm_loop_pcg(
+            poses, landmarks, edges, pose_free, lm_free,
+            lambda x: jax.lax.psum(x, axis_name), max_iterations, rel_tol,
+            max_cg_iters,
+        )
+
+    e_spec = tuple(P(axis_name) for _ in edge_args)
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()) + e_spec,
+        out_specs=(P(), P(), LMStats(P(), P(), P(), P())),
+        check_vma=False,
+    )
+    poses, landmarks, stats = sharded(g.poses, g.landmarks, pose_free, lm_free, *edge_args)
+
+    run = g.num_edges() >= min_edges
+    g = g._replace(
+        poses=jnp.where(run, poses, g.poses),
+        landmarks=jnp.where(run, landmarks, g.landmarks),
+    )
+    stats = LMStats(
+        iterations=jnp.where(run, stats.iterations, 0),
+        chi2_initial=stats.chi2_initial,
+        chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
+        lambda_final=stats.lambda_final,
+    )
+    return g, stats

@@ -1,0 +1,111 @@
+"""Matrix-free PCG solver tests: matvec/solve vs the dense Schur path,
+LM convergence parity, sharded == single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.solver import lm as lm_mod
+from semantic_slam_tpu.solver import pcg as pcg_mod
+from tests.test_solver import build_chain_graph
+
+IDENT = lambda x: x  # noqa: E731
+
+
+class TestMatvec:
+    def test_matches_dense_operator(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        lam = jnp.asarray(1e-3, jnp.float64)
+        pose_free, lm_free = lm_mod._free_masks(g)
+        lin = lm_mod.linearize(g)
+        eb = pcg_mod.build_edge_blocks(g.poses, g.landmarks, *pcg_mod._edge_args(g), IDENT)
+
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        pm = np.repeat(np.asarray(pose_free), 6).astype(float)
+        lmm = np.asarray(lm_free).astype(float)
+
+        # dense damped reduced operator
+        eye3 = np.eye(3)
+        A = np.asarray(lin.Hll) + float(lam) * eye3[None]
+        A = A * lmm[:, None, None] + eye3[None] * (1 - lmm)[:, None, None]
+        Ainv_np = np.linalg.inv(A)
+        W = np.asarray(lin.W) * pm[:, None]
+        W = (W.reshape(6 * K, L, 3) * lmm[None, :, None]).reshape(6 * K, 3 * L)
+        WA = np.einsum("kld,lde->kle", W.reshape(6 * K, L, 3), Ainv_np).reshape(6 * K, 3 * L)
+        Hred = np.asarray(lin.Hpp) + float(lam) * np.eye(6 * K) - WA @ W.T
+        Hred = Hred * (pm[:, None] * pm[None, :])
+
+        x = rng.normal(size=(K, 6)) * np.asarray(pose_free)[:, None]
+        Ainv = lm_mod.inv33(jnp.asarray(A))
+        got = np.asarray(
+            pcg_mod.reduced_matvec(
+                eb, Ainv, lam, pose_free.astype(jnp.float64), jnp.asarray(x), IDENT
+            )
+        )
+        want = (Hred @ x.reshape(-1)).reshape(K, 6)
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_pcg_matches_dense_solve(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        lam = jnp.asarray(1e-3, jnp.float64)
+        pose_free, lm_free = lm_mod._free_masks(g)
+        lin = lm_mod.linearize(g)
+        dp_dense, dl_dense = lm_mod.schur_solve(lin, pose_free, lm_free, lam)
+
+        eb = pcg_mod.build_edge_blocks(g.poses, g.landmarks, *pcg_mod._edge_args(g), IDENT)
+        eye3 = jnp.eye(3, dtype=jnp.float64)
+        lmf = lm_free.astype(jnp.float64)
+        A = eb.Hll + lam * eye3[None]
+        A = A * lmf[:, None, None] + eye3[None] * (1 - lmf)[:, None, None]
+        Ainv = lm_mod.inv33(A)
+        gl = eb.gl * lmf[:, None]
+        y = jnp.einsum("lij,lj->li", Ainv, gl)
+        c = jnp.zeros_like(eb.gp).at[eb.lk].add(
+            jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll])
+        )
+        pf = pose_free.astype(jnp.float64)
+        b = -(eb.gp - c) * pf[:, None]
+        dp = pcg_mod.pcg_solve(eb, Ainv, lam, pose_free, b, IDENT, max_cg_iters=512, tol=1e-24)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_dense), atol=1e-6)
+
+
+class TestLMParity:
+    def test_converges_like_dense(self, rng):
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.05)
+        g_dense, s_dense = lm_mod.lm_optimize(g)
+        g_pcg, s_pcg = pcg_mod.lm_optimize_pcg(g, max_cg_iters=256)
+        assert float(s_pcg.chi2_final) < float(s_pcg.chi2_initial) * 0.5
+        # both land in the same basin
+        np.testing.assert_allclose(
+            float(s_pcg.chi2_final), float(s_dense.chi2_final), rtol=0.05, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_pcg.poses[:6, :3]), np.asarray(g_dense.poses[:6, :3]), atol=1e-3
+        )
+
+    def test_min_edges_gate(self, rng):
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.core import geometry as geo
+        from semantic_slam_tpu.graph import state as gs
+
+        g = gs.make_graph(8, 4, 8, 8, dtype=jnp.float64)
+        g, _ = gs.add_se3_node(g, geo.pose_identity(jnp.float64))
+        g2, stats = pcg_mod.lm_optimize_pcg(g)
+        assert int(stats.iterations) == 0
+
+
+class TestSharded:
+    def test_sharded_matches_single(self, rng):
+        from semantic_slam_tpu.parallel.sharded import make_mesh, shard_graph_edges
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g1, s1 = pcg_mod.lm_optimize_pcg(g, max_cg_iters=256)
+        mesh = make_mesh(4)
+        gs_ = shard_graph_edges(g, mesh)
+        g2, s2 = pcg_mod.sharded_lm_optimize_pcg(gs_, mesh, max_cg_iters=256)
+        np.testing.assert_allclose(np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-7)
+        np.testing.assert_allclose(
+            float(s2.chi2_final), float(s1.chi2_final), rtol=1e-6, atol=1e-9
+        )
