@@ -211,7 +211,7 @@ def _process_keyframe(
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "min_edges", "rel_tol"),
+    static_argnames=("max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters"),
 )
 def _optimize_tick(
     graph: gs.GraphState,
@@ -221,6 +221,8 @@ def _optimize_tick(
     max_iterations: int,
     min_edges: int,
     rel_tol: float,
+    linear_solver: str = "dense",
+    pcg_iters: int = 128,
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
@@ -228,9 +230,17 @@ def _optimize_tick(
 
     def do_opt(operand):
         g, t, marg = operand
-        g2, stats = lm_mod.lm_optimize(
-            g, max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol
-        )
+        if linear_solver == "pcg":
+            from semantic_slam_tpu.solver import pcg as pcg_mod
+
+            g2, stats = pcg_mod.lm_optimize_pcg(
+                g, max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol, max_cg_iters=pcg_iters,
+            )
+        else:
+            g2, stats = lm_mod.lm_optimize(
+                g, max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol
+            )
         marg2 = lm_mod.landmark_marginals(g2)
         has_lms = t.count > 0
         t2 = assoc_mod.sync_from_graph(t, g2.landmarks, marg2)
@@ -459,6 +469,8 @@ class SlamEngine:
             max_iterations=self.cfg.solver.max_iterations,
             min_edges=self.cfg.solver.min_edges_to_optimize,
             rel_tol=self.cfg.solver.rel_decrease_tol,
+            linear_solver=self.cfg.solver.linear_solver,
+            pcg_iters=self.cfg.solver.pcg_iters,
         )
         info = np.asarray(info, np.float64)  # the single device->host fetch
         solve_s = time.perf_counter() - t0

@@ -128,6 +128,48 @@ class TestEndToEnd:
         np.testing.assert_allclose(p2, poses, rtol=1e-12)
 
 
+class TestMahalanobisEndToEnd:
+    def test_maha_profile_session(self):
+        """yolo-style profile: Mahalanobis gating fed by the solver's
+        marginal covariances, end to end."""
+        cfg = e2e_config().replace(
+            association=AssociationConfig(
+                use_maha_dist=True, use_eq_dist=False, maha_dist_thres=9.0,
+                land_noise_low=0.4,
+            )
+        )
+        log = synth_mod.make_synthetic_log(
+            seed=7, n_steps=240, sensor_every=5, drift_noise=0.006, loops=1.5
+        )
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        assert int(eng.table.count) >= 2
+        # landmarks still deduplicated across revisits (4 physical objects)
+        assert int(eng.table.count) <= 10
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+        kf_t = np.array([k.stamp for k in eng.keyframes])
+        kf_xyz = eng.get_keyframe_poses()[:, :3]
+        ate = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
+        assert np.isfinite(ate) and ate < 0.4
+
+
+class TestKeyframeDump:
+    def test_dump_matches_reference_layout(self, session, tmp_path):
+        from semantic_slam_tpu.io.dump import dump_keyframes
+
+        _, eng = session
+        out = str(tmp_path / "kfs")
+        dump_keyframes(out, eng)
+        import os
+
+        d0 = os.path.join(out, "000000", "data")
+        assert os.path.exists(d0)
+        txt = open(d0).read()
+        assert txt.startswith("stamp ")
+        assert "odom\n" in txt and "accum_distance " in txt and "id " in txt
+
+
 class TestKeyframeGate:
     def test_first_always_registers(self):
         g = KeyframeGate()
