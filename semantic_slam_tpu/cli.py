@@ -35,6 +35,7 @@ def cmd_synth(args) -> None:
         H=args.height,
         W=args.width,
         cam_pitch=math.radians(args.cam_pitch_deg),
+        scene=args.scene,
     )
     if args.out.endswith(".slog"):
         from semantic_slam_tpu import native
@@ -187,6 +188,10 @@ def main(argv=None) -> None:
     ps.add_argument("--loops", type=float, default=2.0)
     ps.add_argument("--height", type=int, default=240)
     ps.add_argument("--width", type=int, default=320)
+    ps.add_argument(
+        "--scene", choices=["lab", "kitti", "dense_indoor"], default="lab",
+        help="simulated environment (lab loop / KITTI car corridor / dense indoor)",
+    )
     ps.add_argument(
         "--cam-pitch-deg", type=float, default=0.0,
         help="camera pitch of the simulated rig; match the profile's camera_angle",

@@ -54,6 +54,63 @@ def default_lab_scene() -> list[PlanarObject]:
     ]
 
 
+def kitti_scene(n_cars: int = 12, spacing: float = 8.0, seed: int = 0) -> list[PlanarObject]:
+    """Outdoor corridor of 'car' side-planes along a road (BASELINE config
+    #3: KITTI sequence with the yolo_detector_kitti profile — car landmarks,
+    larger outdoor graph). Cars parked alternating left/right of the +x road,
+    side panels facing it."""
+    rng = np.random.default_rng(seed)
+    objs = []
+    for i in range(n_cars):
+        side = -1.0 if i % 2 == 0 else 1.0
+        x = 6.0 + i * spacing + rng.uniform(-1.5, 1.5)
+        y = side * rng.uniform(3.0, 4.5)
+        objs.append(
+            PlanarObject(
+                6,  # 'car'
+                np.array([x, y, 0.7]),
+                np.array([0.0, -side, 0.0]),  # panel faces the road
+                1.8,
+                0.6,
+            )
+        )
+    return objs
+
+
+def dense_indoor_scene(seed: int = 0) -> list[PlanarObject]:
+    """All 7 semantic classes in one room (BASELINE config #4: dense
+    multi-object indoor scene, high keyframe rate, on-device voxelization)."""
+    rng = np.random.default_rng(seed)
+    specs = [
+        (0, [2.0, 2.5, 0.45], [0, 0, 1], 0.45, 0.45),  # chair seat (horizontal)
+        (1, [4.0, 0.0, 1.0], [-1, 0, 0], 0.45, 0.35),  # tvmonitor
+        (2, [0.0, 3.0, 0.9], [0, -1, 0], 0.25, 0.18),  # book face
+        (3, [2.5, -0.8, 0.75], [0, 0, 1], 0.35, 0.15),  # keyboard (horizontal)
+        (4, [-0.5, 2.0, 0.8], [1, 0, 0], 0.3, 0.25),  # laptop lid
+        (5, [-1.5, 1.0, 0.4], [1, 0, 0], 0.35, 0.5),  # bucket side
+        (6, [1.0, -1.8, 0.7], [0, 1, 0], 1.2, 0.5),  # car side panel
+    ]
+    out = []
+    for cid, c, n, hu, hv in specs:
+        jitter = rng.uniform(-0.1, 0.1, size=3)
+        out.append(PlanarObject(cid, np.asarray(c, float) + jitter, np.asarray(n, float), hu, hv))
+    return out
+
+
+def straight_trajectory(n: int, step: float = 0.4, z: float = 0.0, wiggle: float = 0.02):
+    """Forward-driving trajectory along +x with mild yaw wiggle (outdoor)."""
+    out = []
+    yaw = 0.0
+    x, y = 0.0, 0.0
+    for i in range(n):
+        yaw = wiggle * np.sin(i / 25.0)
+        x += step * np.cos(yaw)
+        y += step * np.sin(yaw)
+        q = npg.rpy_to_quat(np.array([0.0, 0.0, yaw]))
+        out.append(np.concatenate([[x, y, z], q]))
+    return np.stack(out)
+
+
 def circle_trajectory(n: int, radius: float = 1.2, center=(1.2, 1.2), z: float = 0.0):
     """Yaw-following circular loop (flat: roll = pitch = 0, so the strict
     frame-chain typo is inert and GT is exact)."""
@@ -159,6 +216,7 @@ def make_synthetic_log(
     W: int = 320,
     objects: list[PlanarObject] | None = None,
     loops: float = 1.0,
+    scene: str = "lab",
 ) -> ReplayLog:
     """Simulated session: circular loop(s) with drifting VIO.
 
@@ -170,12 +228,22 @@ def make_synthetic_log(
     position, and the simulated sensor must match that model.
     """
     rng = np.random.default_rng(seed)
-    objects = objects if objects is not None else default_lab_scene()
+    if objects is None:
+        objects = {
+            "lab": default_lab_scene,
+            "kitti": kitti_scene,
+            "dense_indoor": dense_indoor_scene,
+        }[scene]()
     fx = 300.0 * W / 320.0  # keep the FOV constant across render sizes
-    per_loop = max(int(n_steps / max(loops, 1e-9)), 8)
-    one = circle_trajectory(per_loop)
-    reps = int(np.ceil(n_steps / per_loop))
-    gt = np.concatenate([one] * max(reps, 1))[:n_steps]
+    if scene == "kitti":
+        # forward drive through the car corridor; no loop closure, larger
+        # graph (the yolo_detector_kitti profile's regime)
+        gt = straight_trajectory(n_steps, step=0.12)
+    else:
+        per_loop = max(int(n_steps / max(loops, 1e-9)), 8)
+        one = circle_trajectory(per_loop)
+        reps = int(np.ceil(n_steps / per_loop))
+        gt = np.concatenate([one] * max(reps, 1))[:n_steps]
 
     log = ReplayLog()
     vio = gt[0].copy()
