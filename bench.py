@@ -39,34 +39,50 @@ def tpu_ms_per_iter():
 
     from __graft_entry__ import _build_graph
     from semantic_slam_tpu.solver import lm as lm_mod
+    from semantic_slam_tpu.solver import pcg as pcg_mod
 
-    g = _build_graph(K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05)
+    # a DISTINCT graph per timed call: the remote TPU execution service
+    # memoizes repeated (program, args) calls, which would fake a near-zero
+    # time; only wholly different inputs give honest numbers
+    graphs = [
+        _build_graph(K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05, seed=s)
+        for s in range(REPEATS + 1)
+    ]
 
-    # rel_tol=0 disables early convergence so exactly ITERS iterations run
-    out, stats = lm_mod.lm_optimize(g, max_iterations=ITERS, rel_tol=0.0)
-    jax.block_until_ready(out.poses)  # compile + warmup
-    iters = int(stats.iterations)
-    assert iters == ITERS, f"expected {ITERS} LM iterations, got {iters}"
+    def measure(name, f):
+        out, stats = f(graphs[0])
+        jax.block_until_ready(out.poses)  # compile + warmup
+        iters = int(stats.iterations)
+        assert iters == ITERS, f"{name}: expected {ITERS} LM iterations, got {iters}"
+        times = []
+        for g in graphs[1:]:
+            t0 = time.perf_counter()
+            out, stats = f(g)
+            jax.block_until_ready(out.poses)
+            times.append(time.perf_counter() - t0)
+        ms = min(times) * 1e3 / ITERS
+        print(
+            f"[bench] {name}: {ms:.2f} ms/iter "
+            f"(chi2 {float(stats.chi2_initial):.1f} -> {float(stats.chi2_final):.3g}) "
+            f"on {jax.devices()[0].device_kind}",
+            file=sys.stderr,
+        )
+        return ms
 
-    times = []
-    for rep in range(REPEATS):
-        # perturb an input so each timed call is a distinct execution — some
-        # remote-TPU execution services memoize identical (program, args)
-        # calls, which would fake a near-zero time
-        g_rep = g._replace(poses=g.poses.at[1, 0].add(1e-6 * (rep + 1)))
-        jax.block_until_ready(g_rep.poses)
-        t0 = time.perf_counter()
-        out, stats = lm_mod.lm_optimize(g_rep, max_iterations=ITERS, rel_tol=0.0)
-        jax.block_until_ready(out.poses)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    print(
-        f"[bench] tpu: {best*1e3:.2f} ms for {ITERS} iters "
-        f"(chi2 {float(stats.chi2_initial):.1f} -> {float(stats.chi2_final):.3g}) "
-        f"on {jax.devices()[0].device_kind}",
-        file=sys.stderr,
+    # rel_tol=0 disables early convergence so exactly ITERS iterations run.
+    # Two kernels: dense Schur Cholesky and matrix-free block-Jacobi PCG
+    # (cg=64 converges to the same chi2 as dense on this graph family);
+    # the headline is the faster of the two.
+    dense = measure(
+        "dense", lambda g: lm_mod.lm_optimize(g, max_iterations=ITERS, rel_tol=0.0)
     )
-    return best * 1e3 / ITERS
+    pcg = measure(
+        "pcg64",
+        lambda g: pcg_mod.lm_optimize_pcg(
+            g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=64
+        ),
+    )
+    return min(dense, pcg)
 
 
 def cpu_baseline_ms_per_iter():
