@@ -21,7 +21,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterator
 
-import jax.numpy as jnp
 import numpy as np
 
 from semantic_slam_tpu.core import np_geometry as npg
@@ -118,7 +117,9 @@ def replay(log: ReplayLog, engine, tick_hz: float = 30.0, run_ticks: bool = True
             engine.run()
             next_tick += 1.0 / tick_hz
         if isinstance(ev, CloudEvent):
-            engine.set_point_cloud(jnp.asarray(ev.points), jnp.asarray(ev.valid))
+            # host numpy straight through — the engine transfers a cloud to
+            # the device only if a detection keyframe actually consumes it
+            engine.set_point_cloud(ev.points, ev.valid)
         elif isinstance(ev, DetectionEvent):
             engine.set_detections(ev.boxes, ev.class_ids, ev.probs)
         elif isinstance(ev, OdomEvent):
@@ -132,8 +133,6 @@ def replay(log: ReplayLog, engine, tick_hz: float = 30.0, run_ticks: bool = True
 def replay_slog(path: str, engine, tick_hz: float = 30.0) -> None:
     """Replay a native SLOG binary log (mmap, zero-copy cloud views) through
     the engine — same tick semantics as ``replay``."""
-    import jax.numpy as jnp
-
     from semantic_slam_tpu import native
 
     r = native.SlogReader(path)
@@ -155,7 +154,7 @@ def replay_slog(path: str, engine, tick_hz: float = 30.0) -> None:
                 engine.run()
                 next_tick += 1.0 / tick_hz
             if kind == 0:
-                engine.set_point_cloud(jnp.asarray(xyz), jnp.asarray(valid))
+                engine.set_point_cloud(xyz, valid)
             elif kind == 1:
                 engine.set_detections(boxes, cids, probs)
             else:

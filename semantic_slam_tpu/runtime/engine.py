@@ -41,8 +41,6 @@ from semantic_slam_tpu.assoc import association as assoc_mod
 from semantic_slam_tpu.config import CLASS_TO_ID, PLANE_VERTICAL, SlamConfig
 from semantic_slam_tpu.core import geometry as geo
 from semantic_slam_tpu.core import np_geometry as npg
-from semantic_slam_tpu.frontend import normals as nrm_mod
-from semantic_slam_tpu.frontend import planes as planes_mod
 from semantic_slam_tpu.frontend import segmentation as seg_mod
 from semantic_slam_tpu.graph import state as gs
 from semantic_slam_tpu.runtime.keyframe_gate import KeyframeGate

@@ -1,0 +1,137 @@
+"""Engine behavior details: detection-triggered keyframes, the synthetic
+first pose+landmark seed, dead-reckoning, latest-wins pairing."""
+
+import numpy as np
+import pytest
+
+from semantic_slam_tpu.config import CLASS_TO_ID
+from semantic_slam_tpu.runtime.engine import SlamEngine
+from tests.test_e2e import e2e_config
+
+IDENT = np.array([0, 0, 0, 1, 0, 0, 0.0])
+
+
+def pose_x(x):
+    p = IDENT.copy()
+    p[0] = x
+    return p
+
+
+class TestDetectionTriggeredKeyframes:
+    def test_detection_creates_keyframe_below_gate(self):
+        cfg = e2e_config().replace(update_key_using_det=True)
+        eng = SlamEngine(cfg)
+        eng.vio_callback(0.0, IDENT)  # first always registers
+        # tiny motion, below the gate: no keyframe without a detection
+        eng.vio_callback(0.05, pose_x(0.01))
+        assert len(eng.keyframe_queue) == 1
+        # a detection arrives: the next VIO message creates a keyframe even
+        # though the gate says no (semantic_graph_slam.cpp:239-250)
+        H, W = 60, 80
+        eng.set_point_cloud(np.zeros((H, W, 3), np.float32), np.zeros((H, W), bool))
+        eng.set_detections(
+            np.array([[5, 5, 20, 20.0]]), np.array([0], np.int32), np.array([0.9])
+        )
+        eng.vio_callback(0.1, pose_x(0.02))
+        assert len(eng.keyframe_queue) == 2
+        # the flag was consumed: the next sub-gate message does NOT trigger
+        eng.vio_callback(0.15, pose_x(0.03))
+        assert len(eng.keyframe_queue) == 2
+
+    def test_gate_only_without_flag(self):
+        cfg = e2e_config()  # update_key_using_det=False
+        eng = SlamEngine(cfg)
+        eng.vio_callback(0.0, IDENT)
+        eng.set_detections(
+            np.array([[5, 5, 20, 20.0]]), np.array([0], np.int32), np.array([0.9])
+        )
+        eng.vio_callback(0.05, pose_x(0.01))
+        assert len(eng.keyframe_queue) == 1  # detection alone doesn't trigger
+
+
+class TestFirstPoseAndLandmark:
+    def test_seed_matches_reference(self):
+        cfg = e2e_config().replace(
+            add_first_lan=True, first_lan_x=1.42, first_lan_y=-0.028, first_lan_z=0.15
+        )
+        eng = SlamEngine(cfg)
+        # identity keyframe + fixed synthetic landmark (cpp:289-332)
+        assert len(eng.keyframes) == 1
+        assert int(eng.graph.num_poses) == 1
+        assert int(eng.graph.num_landmarks) == 1
+        assert int(eng.graph.num_lme) == 1
+        lms = eng.get_mapped_landmarks()
+        np.testing.assert_allclose(lms["pose"][0], [1.42, -0.028, 0.15], atol=1e-6)
+        assert int(lms["class_id"][0]) == CLASS_TO_ID["bucket"]
+        assert int(lms["plane_type"][0]) == 1  # vertical
+        np.testing.assert_allclose(lms["normal"][0], [-0.4, 0.86, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(lms["covariance"][0], np.eye(3) * 0.1, atol=1e-6)
+
+    def test_seeded_engine_accepts_frames(self):
+        cfg = e2e_config().replace(add_first_lan=True)
+        eng = SlamEngine(cfg)
+        eng.vio_callback(1.0, pose_x(0.0))
+        eng.run()
+        assert int(eng.graph.num_poses) == 2
+
+
+class TestDeadReckoning:
+    def test_robot_pose_integrates_between_keyframes(self):
+        cfg = e2e_config()
+        eng = SlamEngine(cfg)
+        eng.vio_callback(0.0, IDENT)
+        eng.run()
+        eng.first_key_added = True
+        # sub-gate motion: robot pose advances by the VIO increment
+        eng.vio_callback(0.1, pose_x(0.1))
+        np.testing.assert_allclose(eng.get_robot_pose()[:3], [0.1, 0, 0], atol=1e-9)
+        eng.vio_callback(0.2, pose_x(0.25))
+        np.testing.assert_allclose(eng.get_robot_pose()[:3], [0.25, 0, 0], atol=1e-9)
+
+    def test_keyframe_snapshot_precedes_increment(self):
+        """The keyframe stores robot_pose BEFORE the triggering message's
+        increment (semantic_graph_slam.cpp:274-276)."""
+        cfg = e2e_config()
+        eng = SlamEngine(cfg)
+        eng.vio_callback(0.0, IDENT)
+        eng.run()
+        eng.first_key_added = True
+        eng.vio_callback(0.1, pose_x(0.1))  # dead-reckon to 0.1
+        eng.vio_callback(5.0, pose_x(0.9))  # gate triggers (time+trans)
+        kf = eng.keyframe_queue[-1]
+        # snapshot excludes the 0.1 -> 0.9 increment
+        np.testing.assert_allclose(kf.robot_pose[:3], [0.1, 0, 0], atol=1e-9)
+        np.testing.assert_allclose(kf.odom[:3], [0.9, 0, 0], atol=1e-12)
+
+
+class TestLatestWins:
+    def test_stale_cloud_is_reused(self):
+        cfg = e2e_config()
+        eng = SlamEngine(cfg)
+        H, W = 60, 80
+        cloud = np.ones((H, W, 3), np.float32)
+        eng.set_point_cloud(cloud, np.ones((H, W), bool))
+        eng.vio_callback(0.0, IDENT)
+        kf1 = eng.keyframe_queue[-1]
+        assert kf1.cloud is not None
+        # no new cloud: the NEXT keyframe still carries the stale one
+        # (getPointCloudData clears the flag but keeps the message,
+        # semantic_graph_slam.cpp:348-352)
+        eng.vio_callback(5.0, pose_x(1.0))
+        kf2 = eng.keyframe_queue[-1]
+        assert kf2.cloud is not None
+        np.testing.assert_allclose(kf2.cloud[0], cloud)
+
+    def test_detections_not_reused(self):
+        cfg = e2e_config()
+        eng = SlamEngine(cfg)
+        H, W = 60, 80
+        eng.set_point_cloud(np.ones((H, W, 3), np.float32), np.ones((H, W), bool))
+        eng.set_detections(
+            np.array([[5, 5, 20, 20.0]]), np.array([0], np.int32), np.array([0.9])
+        )
+        eng.vio_callback(0.0, IDENT)
+        assert eng.keyframe_queue[-1].boxes is not None
+        eng.vio_callback(5.0, pose_x(1.0))
+        # flag consumed: second keyframe has no detections
+        assert eng.keyframe_queue[-1].boxes is None
