@@ -115,11 +115,12 @@ class SolverConfig:
 class CapacityConfig:
     """Static-shape capacities for device-resident graph state.
 
-    The engine starts at the ``initial_*`` sizes and doubles on demand
-    (each bucket compiles once, cached persistently) up to and past the
-    ``max_*`` values — maxima are pre-reserve hints, not hard limits.
-    Early-session solves therefore run on small dense systems instead of
-    paying the full-capacity cost from keyframe one.
+    The engine starts at the ``initial_*`` sizes (0 = start at max) and
+    doubles on demand up to and past the ``max_*`` values — maxima are
+    pre-reserve hints, not hard limits. Default is start-at-max: on remote
+    TPU backends, switching between per-bucket executables costs far more
+    than the larger solves save (measured 3x end-to-end); set initial_*
+    explicitly for memory-constrained or local-device deployments.
     """
 
     max_keyframes: int = 512
@@ -128,10 +129,10 @@ class CapacityConfig:
     max_landmark_edges: int = 2048
     max_detections_per_frame: int = 8
     max_keyframes_per_update: int = 10  # semantic_graph_slam.cpp:18
-    initial_keyframes: int = 64
-    initial_landmarks: int = 32
-    initial_odom_edges: int = 64
-    initial_landmark_edges: int = 256
+    initial_keyframes: int = 0
+    initial_landmarks: int = 0
+    initial_odom_edges: int = 0
+    initial_landmark_edges: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -182,6 +182,20 @@ def slog_gt(path: str):
 
 
 def save_log(path: str, log: ReplayLog) -> None:
+    # detection events carry VARIABLE box counts; pad to the per-log max and
+    # store the true count per event (a ragged np.array() is an error)
+    max_det = max((len(e.boxes) for e in log.detections), default=0)
+    nd = len(log.detections)
+    det_boxes = np.zeros((nd, max_det, 4), np.float64)
+    det_cids = np.full((nd, max_det), -1, np.int32)
+    det_probs = np.zeros((nd, max_det), np.float64)
+    det_n = np.zeros((nd,), np.int32)
+    for i, e in enumerate(log.detections):
+        n = len(e.boxes)
+        det_n[i] = n
+        det_boxes[i, :n] = e.boxes
+        det_cids[i, :n] = e.class_ids
+        det_probs[i, :n] = e.probs
     np.savez_compressed(
         path,
         odom_t=np.array([e.t for e in log.odom]),
@@ -191,9 +205,10 @@ def save_log(path: str, log: ReplayLog) -> None:
         cloud_points=np.array([e.points for e in log.clouds], np.float32),
         cloud_valid=np.array([e.valid for e in log.clouds]),
         det_t=np.array([e.t for e in log.detections]),
-        det_boxes=np.array([e.boxes for e in log.detections]),
-        det_cids=np.array([e.class_ids for e in log.detections]),
-        det_probs=np.array([e.probs for e in log.detections]),
+        det_boxes=det_boxes,
+        det_cids=det_cids,
+        det_probs=det_probs,
+        det_n=det_n,
         gt_t=np.array([e.t for e in log.gt]),
         gt_pose=np.array([e.pose7 for e in log.gt]).reshape(-1, 7),
     )
@@ -206,8 +221,12 @@ def load_log(path: str) -> ReplayLog:
         log.odom.append(OdomEvent(float(t), p, None, str(s)))
     for t, pts, v in zip(z["cloud_t"], z["cloud_points"], z["cloud_valid"]):
         log.clouds.append(CloudEvent(float(t), pts, v))
-    for t, b, c, pr in zip(z["det_t"], z["det_boxes"], z["det_cids"], z["det_probs"]):
-        log.detections.append(DetectionEvent(float(t), b, c, pr))
+    det_n = z["det_n"] if "det_n" in z.files else None
+    for i, (t, b, c, pr) in enumerate(
+        zip(z["det_t"], z["det_boxes"], z["det_cids"], z["det_probs"])
+    ):
+        n = int(det_n[i]) if det_n is not None else len(b)
+        log.detections.append(DetectionEvent(float(t), b[:n], c[:n], pr[:n]))
     for t, p in zip(z["gt_t"], z["gt_pose"]):
         log.gt.append(GtEvent(float(t), p))
     return log

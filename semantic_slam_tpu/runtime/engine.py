@@ -292,10 +292,10 @@ class SlamEngine:
         self.cfg = config
         self.dtype = jnp.float64 if config.solver.dtype == "float64" else jnp.float32
         cap = config.capacity
-        k0 = min(cap.initial_keyframes, cap.max_keyframes)
-        l0 = min(cap.initial_landmarks, cap.max_landmarks)
-        e10 = min(cap.initial_odom_edges, cap.max_odom_edges)
-        e20 = min(cap.initial_landmark_edges, cap.max_landmark_edges)
+        k0 = min(cap.initial_keyframes or cap.max_keyframes, cap.max_keyframes)
+        l0 = min(cap.initial_landmarks or cap.max_landmarks, cap.max_landmarks)
+        e10 = min(cap.initial_odom_edges or cap.max_odom_edges, cap.max_odom_edges)
+        e20 = min(cap.initial_landmark_edges or cap.max_landmark_edges, cap.max_landmark_edges)
         self.graph = gs.make_graph(k0, l0, e10, e20, dtype=self.dtype)
         self.table = assoc_mod.make_table(l0, dtype=self.dtype)
         self.gate = KeyframeGate(
