@@ -109,6 +109,10 @@ class SolverConfig:
     linear_solver: str = "dense"
     pcg_iters: int = 128
     pcg_tol: float = 1e-6
+    # real DCS/Huber robust kernel on observation edges (the reference's
+    # RobustKernelDCS is uninitialized UB — PARITY quirk 1): 'none'|'huber'|'dcs'
+    robust_kernel: str = "none"
+    robust_delta: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -209,7 +209,10 @@ def _process_keyframe(
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters"),
+    static_argnames=(
+        "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
+        "robust_kind", "robust_delta",
+    ),
 )
 def _optimize_tick(
     graph: gs.GraphState,
@@ -221,6 +224,8 @@ def _optimize_tick(
     rel_tol: float,
     linear_solver: str = "dense",
     pcg_iters: int = 128,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
@@ -234,10 +239,12 @@ def _optimize_tick(
             g2, stats = pcg_mod.lm_optimize_pcg(
                 g, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, max_cg_iters=pcg_iters,
+                robust_kind=robust_kind, robust_delta=robust_delta,
             )
         else:
             g2, stats = lm_mod.lm_optimize(
-                g, max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol
+                g, max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol, robust_kind=robust_kind, robust_delta=robust_delta,
             )
         marg2 = lm_mod.landmark_marginals(g2)
         has_lms = t.count > 0
@@ -469,6 +476,8 @@ class SlamEngine:
             rel_tol=self.cfg.solver.rel_decrease_tol,
             linear_solver=self.cfg.solver.linear_solver,
             pcg_iters=self.cfg.solver.pcg_iters,
+            robust_kind=self.cfg.solver.robust_kernel,
+            robust_delta=self.cfg.solver.robust_delta,
         )
         info = np.asarray(info, np.float64)  # the single device->host fetch
         solve_s = time.perf_counter() - t0

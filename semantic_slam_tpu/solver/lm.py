@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from semantic_slam_tpu.core import geometry as geo
 from semantic_slam_tpu.graph import residuals as res
 from semantic_slam_tpu.graph.state import GraphState
+from semantic_slam_tpu.solver.robust import robust_rho, robust_weight
 
 
 class Linearization(NamedTuple):
@@ -92,6 +93,8 @@ def linearize_arrays(
     lme_meas: jax.Array,
     lme_info: jax.Array,
     lme_mask: jax.Array,  # [E2] bool
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ) -> Linearization:
     """Edge-parallel linearization + block scatter-accumulation.
 
@@ -133,6 +136,15 @@ def linearize_arrays(
     r_l, Jp, Jl = jax.vmap(res.se3_point_residual_jac)(
         poses[lme_k], landmarks[lme_l], lme_meas
     )
+    chi_e = jnp.einsum("ea,eab,eb->e", r_l, l_info, r_l)
+    # the reported objective must match chi2_arrays (robustified), while the
+    # gradient/Hessian use IRLS reweighted information
+    chi_l = jnp.sum(robust_rho(chi_e, robust_kind, robust_delta))
+    if robust_kind != "none":
+        # real DCS/Huber reweighting on observation edges — the reference
+        # wires an UNINITIALIZED RobustKernelDCS here (PARITY quirk 1)
+        w = robust_weight(chi_e, robust_kind, robust_delta).astype(dtype)
+        l_info = l_info * w[:, None, None]
     JpT_O = jnp.einsum("eai,eab->eib", Jp, l_info)  # [E,6,3]
     JlT_O = jnp.einsum("eai,eab->eib", Jl, l_info)  # [E,3,3]
     H_kk = jnp.einsum("eia,eaj->eij", JpT_O, Jp)
@@ -140,7 +152,6 @@ def linearize_arrays(
     H_ll = jnp.einsum("eia,eaj->eij", JlT_O, Jl)
     g_k = jnp.einsum("eia,ea->ei", JpT_O, r_l)
     g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
-    chi_l = jnp.einsum("ea,eab,eb->", r_l, l_info, r_l)
 
     Hpp = Hpp.at[lme_k, lme_k].add(H_kk)
     gp = gp.at[lme_k].add(g_k)
@@ -169,11 +180,14 @@ def chi2_arrays(
     lme_meas,
     lme_info,
     lme_mask,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ) -> jax.Array:
     r_o = jax.vmap(res.se3_edge_residual)(poses[odom_i], poses[odom_j], odom_meas)
     chi_o = jnp.einsum("ei,eij,ej->e", r_o, odom_info, r_o)
     r_l = jax.vmap(res.se3_point_residual)(poses[lme_k], landmarks[lme_l], lme_meas)
     chi_l = jnp.einsum("ei,eij,ej->e", r_l, lme_info, r_l)
+    chi_l = robust_rho(chi_l, robust_kind, robust_delta)
     return jnp.sum(chi_o * odom_mask.astype(poses.dtype)) + jnp.sum(
         chi_l * lme_mask.astype(poses.dtype)
     )
@@ -330,12 +344,17 @@ def run_lm_loop(
     return p, l, LMStats(it, chi2_0, chi2_f, lam)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol"))
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "min_edges", "rel_tol", "robust_kind", "robust_delta"),
+)
 def lm_optimize(
     g: GraphState,
     max_iterations: int = 64,
     min_edges: int = 10,
     rel_tol: float = 1e-6,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ) -> tuple[GraphState, LMStats]:
     """Full-batch LM over the active graph (g2o GraphSLAM::optimize analog).
 
@@ -346,10 +365,10 @@ def lm_optimize(
     edges = _edge_args(g)
 
     def lin_fn(p, l):
-        return linearize_arrays(p, l, *edges)
+        return linearize_arrays(p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta)
 
     def chi2_fn(p, l):
-        return chi2_arrays(p, l, *edges)
+        return chi2_arrays(p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta)
 
     poses, landmarks, stats = run_lm_loop(
         g.poses, g.landmarks, lin_fn, chi2_fn, pose_free, lm_free,

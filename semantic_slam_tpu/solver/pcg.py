@@ -32,6 +32,7 @@ from semantic_slam_tpu.core import geometry as geo
 from semantic_slam_tpu.graph import residuals as res
 from semantic_slam_tpu.graph.state import GraphState
 from semantic_slam_tpu.solver.lm import LMStats, _free_masks, chi2_arrays, inv33
+from semantic_slam_tpu.solver.robust import robust_rho, robust_weight
 
 
 class EdgeBlocks(NamedTuple):
@@ -70,6 +71,8 @@ def build_edge_blocks(
     lme_info,
     lme_mask,
     allreduce: Callable,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ) -> EdgeBlocks:
     K = poses.shape[0]
     L = landmarks.shape[0]
@@ -94,6 +97,11 @@ def build_edge_blocks(
     r_l, Jp, Jl = jax.vmap(res.se3_point_residual_jac)(
         poses[lme_k], landmarks[lme_l], lme_meas
     )
+    chi_e = jnp.einsum("ea,eab,eb->e", r_l, l_info, r_l)
+    chi_l_rho = jnp.sum(robust_rho(chi_e, robust_kind, robust_delta))
+    if robust_kind != "none":
+        w = robust_weight(chi_e, robust_kind, robust_delta).astype(dtype)
+        l_info = l_info * w[:, None, None]
     JpT_O = jnp.einsum("eai,eab->eib", Jp, l_info)
     JlT_O = jnp.einsum("eai,eab->eib", Jl, l_info)
     H_kk = jnp.einsum("eia,eaj->eij", JpT_O, Jp)
@@ -101,7 +109,7 @@ def build_edge_blocks(
     H_ll_e = jnp.einsum("eia,eaj->eij", JlT_O, Jl)
     g_k = jnp.einsum("eia,ea->ei", JpT_O, r_l)
     g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
-    chi_l = jnp.einsum("ea,eab,eb->", r_l, l_info, r_l)
+    chi_l = chi_l_rho
 
     gp = jnp.zeros((K, 6), dtype).at[odom_i].add(g_i).at[odom_j].add(g_j)
     gp = gp.at[lme_k].add(g_k)
@@ -224,6 +232,8 @@ def run_lm_loop_pcg(
     rel_tol: float,
     max_cg_iters: int = 128,
     init_lambda_tau: float = 1e-5,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ):
     """Nielsen-damped LM with the matrix-free PCG inner solver."""
     dtype = poses.dtype
@@ -232,9 +242,16 @@ def run_lm_loop_pcg(
     eye3 = jnp.eye(3, dtype=dtype)
 
     def chi2_fn(p, l):
-        return allreduce(chi2_arrays(p, l, *edge_args))
+        return allreduce(
+            chi2_arrays(p, l, *edge_args, robust_kind=robust_kind, robust_delta=robust_delta)
+        )
 
-    eb0 = build_edge_blocks(poses, landmarks, *edge_args, allreduce)
+    def build(p, l):
+        return build_edge_blocks(
+            p, l, *edge_args, allreduce, robust_kind=robust_kind, robust_delta=robust_delta
+        )
+
+    eb0 = build(poses, landmarks)
     chi2_0 = eb0.chi2
     diag_max = jnp.maximum(
         jnp.max(jnp.abs(jnp.diagonal(eb0.diag, axis1=-2, axis2=-1))),
@@ -268,7 +285,7 @@ def run_lm_loop_pcg(
 
     def body(carry):
         p, l, lam, nu, it, done = carry
-        eb = build_edge_blocks(p, l, *edge_args, allreduce)
+        eb = build(p, l)
         dp, dl = solve(eb, lam)
         p_new = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
         l_new = l + dl.astype(l.dtype)
@@ -312,19 +329,28 @@ def _edge_args(g: GraphState):
     )
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol", "max_cg_iters"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
+        "robust_kind", "robust_delta",
+    ),
+)
 def lm_optimize_pcg(
     g: GraphState,
     max_iterations: int = 64,
     min_edges: int = 10,
     rel_tol: float = 1e-6,
     max_cg_iters: int = 128,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ):
     """Single-chip matrix-free LM (drop-in for lm_optimize)."""
     pose_free, lm_free = _free_masks(g)
     poses, landmarks, stats = run_lm_loop_pcg(
         g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
         lambda x: x, max_iterations, rel_tol, max_cg_iters,
+        robust_kind=robust_kind, robust_delta=robust_delta,
     )
     run = g.num_edges() >= min_edges
     g = g._replace(
