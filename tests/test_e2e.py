@@ -204,6 +204,33 @@ class TestKeyframeGate:
 
 
 class TestReplayIO:
+    def test_ragged_detection_counts_round_trip(self, tmp_path):
+        """Regression: save_log crashed on logs whose detection events carry
+        different box counts (ragged np.array)."""
+        log = replay_mod.ReplayLog()
+        log.odom.append(replay_mod.OdomEvent(0.0, np.array([0, 0, 0, 1, 0, 0, 0.0])))
+        log.detections.append(
+            replay_mod.DetectionEvent(
+                0.1, np.array([[1, 2, 3, 4.0]]), np.array([0], np.int32), np.array([0.9])
+            )
+        )
+        log.detections.append(
+            replay_mod.DetectionEvent(
+                0.2,
+                np.array([[1, 2, 3, 4.0], [5, 6, 7, 8.0], [9, 10, 11, 12.0]]),
+                np.array([1, 2, 3], np.int32),
+                np.array([0.7, 0.8, 0.9]),
+            )
+        )
+        log.gt.append(replay_mod.GtEvent(0.0, np.array([0, 0, 0, 1, 0, 0, 0.0])))
+        p = str(tmp_path / "ragged.npz")
+        replay_mod.save_log(p, log)
+        log2 = replay_mod.load_log(p)
+        assert len(log2.detections[0].boxes) == 1
+        assert len(log2.detections[1].boxes) == 3
+        np.testing.assert_allclose(log2.detections[1].boxes[2], [9, 10, 11, 12.0])
+        np.testing.assert_array_equal(log2.detections[1].class_ids, [1, 2, 3])
+
     def test_log_save_load(self, tmp_path):
         log = synth_mod.make_synthetic_log(seed=1, n_steps=30, sensor_every=10, H=60, W=80)
         p = str(tmp_path / "log.npz")
