@@ -88,3 +88,47 @@ class TestPlaneResidual:
         meas = jnp.asarray([0.0, 0.0, 1.0, 2.5])
         r = np.asarray(res.se3_plane_residual(pose, plane, meas))
         np.testing.assert_allclose(r, [0, 0, -0.5], atol=1e-12)
+
+
+class TestHullArea:
+    def test_square_area(self, rng):
+        from semantic_slam_tpu.frontend import hull
+
+        # uniform square 2x1 in the z=0.5 plane
+        pts = np.zeros((4096, 3))
+        pts[:, 0] = rng.uniform(-1, 1, 4096)
+        pts[:, 1] = rng.uniform(-0.5, 0.5, 4096)
+        pts[:, 2] = 0.5
+        a = float(
+            hull.polygon_area(
+                jnp.asarray(pts), jnp.ones(4096, bool), jnp.asarray([0.0, 0, 1.0])
+            )
+        )
+        assert 1.6 < a < 2.1  # true area 2.0; binned boundary underestimates
+
+    def test_disk_area(self, rng):
+        from semantic_slam_tpu.frontend import hull
+
+        r = np.sqrt(rng.uniform(0, 1, 4096))
+        th = rng.uniform(0, 2 * np.pi, 4096)
+        pts = np.stack([r * np.cos(th), r * np.sin(th), np.full(4096, 2.0)], axis=-1)
+        a = float(
+            hull.polygon_area(
+                jnp.asarray(pts), jnp.ones(4096, bool), jnp.asarray([0.0, 0, 1.0])
+            )
+        )
+        assert abs(a - np.pi) < 0.3
+
+    def test_mask_respected(self, rng):
+        from semantic_slam_tpu.frontend import hull
+
+        pts = np.zeros((1024, 3))
+        pts[:, 0] = rng.uniform(-1, 1, 1024)
+        pts[:, 1] = rng.uniform(-1, 1, 1024)
+        mask = np.abs(pts[:, 0]) < 0.2  # thin strip
+        a = float(
+            hull.polygon_area(
+                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray([0.0, 0, 1.0])
+            )
+        )
+        assert a < 1.0  # strip ~0.8, full square 4.0
