@@ -10,3 +10,16 @@ solver, shardable over a TPU device mesh.
 __version__ = "0.1.0"
 
 from semantic_slam_tpu.config import PROFILES, SlamConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "SlamEngine":
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        return SlamEngine
+    if name == "replay":
+        from semantic_slam_tpu.io import replay
+
+        return replay
+    raise AttributeError(name)
