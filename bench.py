@@ -26,7 +26,7 @@ import numpy as np
 
 K, L, E2 = 512, 128, 2048
 ITERS = 16
-REPEATS = 3
+REPEATS = 2
 
 
 def tpu_ms_per_iter():
@@ -70,19 +70,31 @@ def tpu_ms_per_iter():
         return ms
 
     # rel_tol=0 disables early convergence so exactly ITERS iterations run.
-    # Two kernels: dense Schur Cholesky and matrix-free block-Jacobi PCG
-    # (cg=64 converges to the same chi2 as dense on this graph family);
-    # the headline is the faster of the two.
-    dense = measure(
-        "dense", lambda g: lm_mod.lm_optimize(g, max_iterations=ITERS, rel_tol=0.0)
-    )
+    # Two kernels: matrix-free block-Jacobi PCG (cg=64, converges to the same
+    # chi2 as dense on this graph family) and dense Schur Cholesky; PCG is
+    # measured first (it is usually the headline), and the dense pass is
+    # skipped if the TPU tunnel is in a slow mode so one kernel's number
+    # always lands within the driver's time budget.
+    t_start = time.perf_counter()
     pcg = measure(
         "pcg64",
         lambda g: pcg_mod.lm_optimize_pcg(
             g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=64
         ),
     )
-    return min(dense, pcg)
+    best = pcg
+    if time.perf_counter() - t_start < 240.0:
+        try:
+            dense = measure(
+                "dense",
+                lambda g: lm_mod.lm_optimize(g, max_iterations=ITERS, rel_tol=0.0),
+            )
+            best = min(best, dense)
+        except Exception as e:  # pragma: no cover - environment flake
+            print(f"[bench] dense pass skipped: {e}", file=sys.stderr)
+    else:
+        print("[bench] dense pass skipped (slow tunnel)", file=sys.stderr)
+    return best
 
 
 def cpu_baseline_ms_per_iter():
