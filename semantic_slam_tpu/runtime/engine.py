@@ -116,14 +116,7 @@ def _ingest_landmarks_impl(graph: gs.GraphState, valid, lm_id, is_new, local, wo
 _ingest_landmarks = jax.jit(_ingest_landmarks_impl)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "samp_h", "samp_w", "max_planes", "num_hypotheses", "smoothing_size",
-        "strict_frames", "use_rtabmap_offset",
-    ),
-)
-def _process_keyframe(
+def _process_keyframe_impl(
     graph: gs.GraphState,
     table: assoc_mod.LandmarkTable,
     # keyframe ingestion
@@ -204,17 +197,26 @@ def _process_keyframe(
         graph, res.valid, res.lm_id, res.is_new, res.local_pose, res.world_pose,
         kf_idx, lm_info3,
     )
+    return graph, table, dets, kf_idx
+
+
+_PROC_STATICS = (
+    "samp_h", "samp_w", "max_planes", "num_hypotheses", "smoothing_size",
+    "strict_frames", "use_rtabmap_offset",
+)
+_OPT_STATICS = (
+    "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
+    "robust_kind", "robust_delta",
+)
+
+
+@partial(jax.jit, static_argnames=_PROC_STATICS)
+def _process_keyframe(*args, **kw):
+    graph, table, dets, _ = _process_keyframe_impl(*args, **kw)
     return graph, table, dets
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
-        "robust_kind", "robust_delta",
-    ),
-)
-def _optimize_tick(
+def _optimize_tick_impl(
     graph: gs.GraphState,
     table: assoc_mod.LandmarkTable,
     marginals,
@@ -287,6 +289,67 @@ def _optimize_tick(
         ]
     )
     return graph, table, marginals, info
+
+
+_optimize_tick = partial(jax.jit, static_argnames=_OPT_STATICS)(_optimize_tick_impl)
+
+
+@partial(jax.jit, static_argnames=_PROC_STATICS + _OPT_STATICS)
+def _tick_fused_detect(
+    graph,
+    table,
+    marginals,
+    *proc_args,
+    samp_h,
+    samp_w,
+    max_planes,
+    num_hypotheses,
+    smoothing_size,
+    strict_frames,
+    use_rtabmap_offset,
+    max_iterations,
+    min_edges,
+    rel_tol,
+    linear_solver,
+    pcg_iters,
+    robust_kind,
+    robust_delta,
+):
+    """Single-keyframe tick fused into ONE device program: keyframe ingest +
+    frontend + association + landmark ingest + LM optimize + marginals +
+    table sync + packed stats (halves tunnel round trips per tick)."""
+    graph, table, dets, kf_idx = _process_keyframe_impl(
+        graph, table, *proc_args,
+        samp_h=samp_h, samp_w=samp_w, max_planes=max_planes,
+        num_hypotheses=num_hypotheses, smoothing_size=smoothing_size,
+        strict_frames=strict_frames, use_rtabmap_offset=use_rtabmap_offset,
+    )
+    graph, table, marginals, info = _optimize_tick_impl(
+        graph, table, marginals, kf_idx,
+        max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol,
+        linear_solver=linear_solver, pcg_iters=pcg_iters,
+        robust_kind=robust_kind, robust_delta=robust_delta,
+    )
+    return graph, table, marginals, dets, info
+
+
+@partial(jax.jit, static_argnames=_OPT_STATICS)
+def _tick_fused_plain(
+    graph,
+    table,
+    marginals,
+    odom7,
+    prev_odom7,
+    has_prev,
+    info6,
+    **opt_statics,
+):
+    """Single detection-less keyframe tick fused into one program."""
+    graph, kf_idx = gs.add_se3_node(graph, odom7)
+    meas = geo.pose_mul(geo.pose_inv(prev_odom7), odom7)
+    with_edge = gs.add_se3_edge(graph, kf_idx - 1, kf_idx, meas, info6)
+    graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
+    return _optimize_tick_impl(graph, table, marginals, kf_idx, **opt_statics)
 
 
 class SlamEngine:
@@ -437,40 +500,8 @@ class SlamEngine:
     # the tick (semantic_graph_slam.cpp:58-102)
     # ------------------------------------------------------------------
 
-    def run(self) -> bool:
-        if not self.keyframe_queue:
-            return False
-        n = min(len(self.keyframe_queue), self.cfg.capacity.max_keyframes_per_update)
-        batch, self.keyframe_queue = self.keyframe_queue[:n], self.keyframe_queue[n:]
-
-        self._ensure_capacity(batch)
-
-        for kf in batch:
-            has_prev = len(self.keyframes) > 0
-            prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
-            if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
-                self._process_keyframe_with_detections(kf, prev_odom, has_prev)
-            else:
-                self.graph, _ = _ingest_keyframe(
-                    self.graph,
-                    kf.odom.astype(self._npdt),
-                    np.asarray(prev_odom, self._npdt),
-                    has_prev,
-                    self._info6,
-                )
-            kf.node_idx = self._n_poses
-            self._n_poses += 1
-            if has_prev:
-                self._n_odom += 1
-            self.keyframes.append(kf)
-
-        t0 = time.perf_counter()
-        last_idx = self.keyframes[-1].node_idx
-        self.graph, self.table, self.marginals, info = _optimize_tick(
-            self.graph,
-            self.table,
-            self.marginals,
-            np.int32(last_idx),
+    def _opt_statics(self) -> dict:
+        return dict(
             max_iterations=self.cfg.solver.max_iterations,
             min_edges=self.cfg.solver.min_edges_to_optimize,
             rel_tol=self.cfg.solver.rel_decrease_tol,
@@ -479,6 +510,74 @@ class SlamEngine:
             robust_kind=self.cfg.solver.robust_kernel,
             robust_delta=self.cfg.solver.robust_delta,
         )
+
+    def run(self) -> bool:
+        if not self.keyframe_queue:
+            return False
+        n = min(len(self.keyframe_queue), self.cfg.capacity.max_keyframes_per_update)
+        batch, self.keyframe_queue = self.keyframe_queue[:n], self.keyframe_queue[n:]
+
+        self._ensure_capacity(batch)
+
+        t0 = time.perf_counter()
+        if len(batch) == 1:
+            # common case: the whole tick (keyframe + frontend + association
+            # + optimize + sync + stats) is ONE device program — one round
+            # trip through the TPU tunnel
+            kf = batch[0]
+            has_prev = len(self.keyframes) > 0
+            prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
+            if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
+                args, statics = self._kf_call_args(kf, prev_odom, has_prev)
+                (
+                    self.graph, self.table, self.marginals, dets, info
+                ) = _tick_fused_detect(
+                    self.graph, self.table, self.marginals, *args,
+                    **statics, **self._opt_statics(),
+                )
+                self.last_detected_objects = dets
+            else:
+                (self.graph, self.table, self.marginals, info) = _tick_fused_plain(
+                    self.graph, self.table, self.marginals,
+                    kf.odom.astype(self._npdt),
+                    np.asarray(prev_odom, self._npdt),
+                    has_prev,
+                    self._info6,
+                    **self._opt_statics(),
+                )
+            kf.node_idx = self._n_poses
+            self._n_poses += 1
+            if has_prev:
+                self._n_odom += 1
+            self.keyframes.append(kf)
+        else:
+            for kf in batch:
+                has_prev = len(self.keyframes) > 0
+                prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
+                if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
+                    self._process_keyframe_with_detections(kf, prev_odom, has_prev)
+                else:
+                    self.graph, _ = _ingest_keyframe(
+                        self.graph,
+                        kf.odom.astype(self._npdt),
+                        np.asarray(prev_odom, self._npdt),
+                        has_prev,
+                        self._info6,
+                    )
+                kf.node_idx = self._n_poses
+                self._n_poses += 1
+                if has_prev:
+                    self._n_odom += 1
+                self.keyframes.append(kf)
+
+            last_idx = self.keyframes[-1].node_idx
+            self.graph, self.table, self.marginals, info = _optimize_tick(
+                self.graph,
+                self.table,
+                self.marginals,
+                np.int32(last_idx),
+                **self._opt_statics(),
+            )
         info = np.asarray(info, np.float64)  # the single device->host fetch
         solve_s = time.perf_counter() - t0
 
@@ -521,7 +620,8 @@ class SlamEngine:
 
     # ------------------------------------------------------------------
 
-    def _process_keyframe_with_detections(self, kf: KeyframeMeta, prev_odom, has_prev) -> None:
+    def _kf_call_args(self, kf: KeyframeMeta, prev_odom, has_prev):
+        """Positional args + static kwargs for the detection-keyframe program."""
         cfg = self.cfg
         seg = cfg.segmentation
         a = cfg.association
@@ -537,10 +637,7 @@ class SlamEngine:
         robot_xyzrpy = npg.pose_to_xyzrpy(kf.robot_pose)
         points, valid = kf.cloud
         npdt = self._npdt
-
-        self.graph, self.table, dets = _process_keyframe(
-            self.graph,
-            self.table,
+        args = (
             kf.odom.astype(npdt),
             np.asarray(prev_odom, npdt),
             has_prev,
@@ -559,6 +656,8 @@ class SlamEngine:
             self._seg_params["cos_angular_thres"],
             *self._assoc_params,
             self._lm_info3,
+        )
+        statics = dict(
             samp_h=seg.crop_height,
             samp_w=seg.crop_width,
             max_planes=seg.max_planes_per_detection,
@@ -566,6 +665,13 @@ class SlamEngine:
             smoothing_size=seg.normal_smoothing_size,
             strict_frames=cfg.strict_reference_frames,
             use_rtabmap_offset=a.use_rtab_map_odom,
+        )
+        return args, statics
+
+    def _process_keyframe_with_detections(self, kf: KeyframeMeta, prev_odom, has_prev) -> None:
+        args, statics = self._kf_call_args(kf, prev_odom, has_prev)
+        self.graph, self.table, dets = _process_keyframe(
+            self.graph, self.table, *args, **statics
         )
         self.last_detected_objects = dets  # observability (seg_obj_vec_)
 
