@@ -51,12 +51,13 @@ def main():
 
     engine = SlamEngine(cfg)
     m = Metrics()
-
-    # instrument the engine stages
+    # NOTE: with the fused single-keyframe tick, frontend+assoc+solve all run
+    # in one device program; "solve_seconds" in stats_history is the whole
+    # tick. The split instrumentation only fires on multi-keyframe batches.
     orig_proc = engine._process_keyframe_with_detections
 
     def proc(kf, prev_odom, has_prev):
-        with m.scope("frontend+assoc"):
+        with m.scope("frontend+assoc(batch path)"):
             orig_proc(kf, prev_odom, has_prev)
 
     engine._process_keyframe_with_detections = proc
@@ -80,8 +81,11 @@ def main():
         "solve_total_s": round(solve_s, 3),
         "solve_calls": opt_calls,
         "lm_iters_total": iters,
-        "frontend_assoc": m.summary().get("frontend+assoc"),
-        "other_s": round(wall - solve_s - m.totals.get("frontend+assoc", 0.0), 3),
+        "frontend_assoc_batch_path": m.summary().get("frontend+assoc(batch path)"),
+        "tick_total_s_includes_frontend": True,
+        "other_s": round(
+            wall - solve_s - m.totals.get("frontend+assoc(batch path)", 0.0), 3
+        ),
     }
     print(json.dumps(summary, indent=1))
 
