@@ -1,0 +1,76 @@
+"""Plane landmarks in the production Schur solver (graph/planes.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.core import geometry as geo
+from semantic_slam_tpu.graph import planes as gp
+from semantic_slam_tpu.solver import lm as lm_mod
+from semantic_slam_tpu.solver.plane_ba import observe_plane
+from tests.test_solver import build_chain_graph
+
+
+def with_plane_observations(rng, g, gt_poses, planes_world, noise=0.0):
+    pn = gp.make_planes(8, 64, dtype=jnp.float64)
+    info3 = jnp.eye(3, dtype=jnp.float64) * 100.0
+    for pw in planes_world:
+        pw = jnp.asarray(pw, jnp.float64)
+        pn, pid = gp.add_plane_node(pn, pw)  # init at truth or perturbed later
+        for k in range(gt_poses.shape[0]):
+            z = observe_plane(gt_poses[k], pw)
+            if noise > 0:
+                z = z + jnp.asarray(rng.normal(size=4) * noise, jnp.float64)
+            pn = gp.add_se3_plane_edge(pn, k, pid, z, info3)
+    return pn
+
+
+class TestNoPlanesIdentical:
+    def test_empty_planes_matches_point_solver(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        pn = gp.make_planes(8, 64, dtype=jnp.float64)
+        g1, s1 = lm_mod.lm_optimize(g)
+        g2, pn2, s2 = gp.lm_optimize_with_planes(g, pn)
+        np.testing.assert_allclose(np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-10)
+        np.testing.assert_allclose(float(s2.chi2_final), float(s1.chi2_final), rtol=1e-9)
+
+
+class TestJointOptimization:
+    def test_planes_tighten_the_solution(self, rng):
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.05)
+        planes = [[1.0, 0.0, 0.0, -6.0], [0.0, 0.0, 1.0, 1.5]]
+        pn = with_plane_observations(rng, g, gt_poses, planes)
+        # perturb the plane initial estimates
+        pn = pn._replace(
+            planes=pn.planes.at[0, 3].add(0.2).at[1, 3].add(-0.15)
+        )
+        n = gt_poses.shape[0]
+        g_pt, s_pt = lm_mod.lm_optimize(g)
+        g_j, pn_j, s_j = gp.lm_optimize_with_planes(g, pn)
+        err_pt = np.linalg.norm(np.asarray(g_pt.poses[:n, :3] - gt_poses[:, :3]), axis=1).mean()
+        err_j = np.linalg.norm(np.asarray(g_j.poses[:n, :3] - gt_poses[:, :3]), axis=1).mean()
+        assert float(s_j.chi2_final) < float(s_j.chi2_initial) * 0.1
+        # extra plane constraints should not hurt, usually help
+        assert err_j <= err_pt * 1.05
+
+    def test_plane_parameters_recovered(self, rng):
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.03)
+        truth = [[0.0, 1.0, 0.0, -3.0]]
+        pn = with_plane_observations(rng, g, gt_poses, truth)
+        pn = pn._replace(planes=pn.planes.at[0].set(jnp.asarray([0.05, 0.99, 0.05, -2.7], jnp.float64)))
+        pn = pn._replace(
+            planes=pn.planes.at[0, :3].set(
+                pn.planes[0, :3] / jnp.linalg.norm(pn.planes[0, :3])
+            )
+        )
+        g_j, pn_j, s_j = gp.lm_optimize_with_planes(g, pn)
+        got = np.asarray(pn_j.planes[0])
+        sign = np.sign(got[:3] @ np.asarray(truth[0][:3]))
+        np.testing.assert_allclose(got[:3] * sign, truth[0][:3], atol=0.03)
+        np.testing.assert_allclose(got[3] * sign, truth[0][3], atol=0.1)
+
+    def test_unit_normals_preserved(self, rng):
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.05)
+        pn = with_plane_observations(rng, g, gt_poses, [[1.0, 0, 0, -5.0]], noise=0.01)
+        g_j, pn_j, _ = gp.lm_optimize_with_planes(g, pn)
+        nrm = np.linalg.norm(np.asarray(pn_j.planes[:, :3]), axis=1)
+        np.testing.assert_allclose(nrm, 1.0, atol=1e-9)
