@@ -167,6 +167,10 @@ class SlamConfig:
     use_rtab_map_odom: bool = False
     # frame-chain fidelity: True reproduces tools.h exactly (incl. its typo)
     strict_reference_frames: bool = True
+    # landmark representation: False = 3-D points (reference behavior);
+    # True = plane landmarks [n, d] optimized by the joint Schur BA (the
+    # paper's formulation, beyond the reference release)
+    use_plane_landmarks: bool = False
 
     keyframe: KeyframeConfig = KeyframeConfig()
     segmentation: SegmentationConfig = SegmentationConfig()

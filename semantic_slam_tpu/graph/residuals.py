@@ -102,6 +102,14 @@ def se3_plane_residual(pose: jax.Array, plane4: jax.Array, meas4: jax.Array) -> 
     R_t = geo.quat_to_rotmat(geo.quat_conj(pose[..., 3:]))
     n_pred = jnp.einsum("...ij,...j->...i", R_t, n_w)
     d_pred = d_w + jnp.einsum("...i,...i->...", n_w, pose[..., :3])
+    # sign-invariance: (n, d) and (-n, -d) are the same plane, and the
+    # frontend's h/v canonicalization (cam-frame sign rules) can flip a
+    # plane's observed orientation between viewpoints — align the
+    # measurement to the prediction's hemisphere before differencing
+    sign = jnp.where(
+        jnp.einsum("...i,...i->...", n_pred, meas4[..., :3]) < 0, -1.0, 1.0
+    )
+    meas4 = meas4 * sign[..., None]
     n_meas = meas4[..., :3]
     e_rot = jnp.cross(n_pred, n_meas)
     # project the rotation error onto two tangent directions of n_meas

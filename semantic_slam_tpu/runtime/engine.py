@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from semantic_slam_tpu.assoc import association as assoc_mod
+from semantic_slam_tpu.core import frames as frames_mod
+from semantic_slam_tpu.graph import planes as planes_ext
 from semantic_slam_tpu.config import CLASS_TO_ID, PLANE_VERTICAL, SlamConfig
 from semantic_slam_tpu.core import geometry as geo
 from semantic_slam_tpu.core import np_geometry as npg
@@ -352,6 +354,149 @@ def _tick_fused_plain(
     return _optimize_tick_impl(graph, table, marginals, kf_idx, **opt_statics)
 
 
+def _ingest_planes_impl(pn, valid, lm_id, is_new, plane_w4, meas4, kf_idx, info3):
+    """Vectorized plane node/edge append (plane index == table landmark id)."""
+    M = valid.shape[0]
+    Pl = pn.planes.shape[0]
+    E3 = pn.pe_k.shape[0]
+    new = valid & is_new
+    node_idx = pn.num_planes + jnp.cumsum(new.astype(jnp.int32)) - 1
+    p_tgt = jnp.where(new, node_idx, Pl)
+    planes = pn.planes.at[p_tgt].set(plane_w4.astype(pn.planes.dtype), mode="drop")
+    e_idx = pn.num_pe + jnp.cumsum(valid.astype(jnp.int32)) - 1
+    e_tgt = jnp.where(valid, e_idx, E3)
+    kf_col = jnp.zeros((M,), jnp.int32) + jnp.asarray(kf_idx, jnp.int32)
+    return pn._replace(
+        planes=planes,
+        num_planes=pn.num_planes + jnp.sum(new.astype(jnp.int32)),
+        pe_k=pn.pe_k.at[e_tgt].set(kf_col, mode="drop"),
+        pe_p=pn.pe_p.at[e_tgt].set(lm_id.astype(jnp.int32), mode="drop"),
+        pe_meas=pn.pe_meas.at[e_tgt].set(meas4.astype(pn.pe_meas.dtype), mode="drop"),
+        pe_info=pn.pe_info.at[e_tgt].set(
+            jnp.broadcast_to(info3.astype(pn.pe_info.dtype), (M, 3, 3)), mode="drop"
+        ),
+        num_pe=pn.num_pe + jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=_PROC_STATICS)
+def _process_keyframe_planes(
+    graph,
+    table,
+    pn,
+    *proc_args,
+    samp_h,
+    samp_w,
+    max_planes,
+    num_hypotheses,
+    smoothing_size,
+    strict_frames,
+    use_rtabmap_offset,
+):
+    """Planar-patch variant of the keyframe program: identical ingestion,
+    frontend, and (centroid-based, reference-semantics) association; each
+    landmark is a full planar PATCH — the point machinery constrains the
+    centroid (3 dof) AND SE3-plane edges onto PlaneNodes constrain the
+    surface orientation/offset (3 dof) — the paper's plane formulation
+    layered on top of the reference's point behavior."""
+    (
+        odom7, prev_odom7, has_prev, info6, points, cloud_valid, boxes,
+        class_ids, probs, robot_xyzrpy, cam_angle, num_point_seg,
+        norm_point_thres, planar_area, distance_thres, cos_angular_thres,
+        use_maha, maha_thres, eq_thres, land_noise, lm_info3,
+    ) = proc_args
+
+    graph, kf_idx = gs.add_se3_node(graph, odom7)
+    meas = geo.pose_mul(geo.pose_inv(prev_odom7), odom7)
+    with_edge = gs.add_se3_edge(graph, kf_idx - 1, kf_idx, meas, info6)
+    graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
+
+    dets = seg_mod.segment_all(
+        points, cloud_valid, boxes, class_ids, probs, robot_xyzrpy, cam_angle,
+        num_point_seg=num_point_seg, norm_point_thres=norm_point_thres,
+        planar_area=planar_area, distance_thres=distance_thres,
+        cos_angular_thres=cos_angular_thres, samp_h=samp_h, samp_w=samp_w,
+        max_planes=max_planes, num_hypotheses=num_hypotheses,
+        smoothing_size=smoothing_size, strict_frames=strict_frames,
+    )
+    table, res = assoc_mod.associate(
+        table, dets, robot_xyzrpy, cam_angle, use_maha, maha_thres, eq_thres,
+        land_noise, strict_frames=strict_frames,
+        rtabmap_y_offset=use_rtabmap_offset,
+    )
+
+    graph = _ingest_landmarks_impl(
+        graph, res.valid, res.lm_id, res.is_new, res.local_pose, res.world_pose,
+        kf_idx, lm_info3,
+    )
+
+    # world plane init from the detection: n_w from the cam->world chain,
+    # d_w through the world centroid
+    n_w4 = frames_mod.convert_normal_to_world(
+        robot_xyzrpy, cam_angle, dets.normal_cam, strict=strict_frames
+    )
+    n_w = n_w4[:, :3]
+    n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
+    d_w = -jnp.sum(n_w * res.world_pose, axis=-1)
+    plane_w4 = jnp.concatenate([n_w, d_w[:, None]], axis=-1)
+
+    # sensor-frame (robot/odom-node frame) observation: rotate the cam-frame
+    # coefficients by the cam->robot chain; the offset is frame-invariant
+    # under the rotation-only chain
+    C = frames_mod.t_cam_robot(cam_angle, dtype=graph.poses.dtype)[:3, :3]
+    n_r = dets.normal_cam[:, :3] @ C.T
+    n_r = n_r / jnp.maximum(jnp.linalg.norm(n_r, axis=-1, keepdims=True), 1e-12)
+    meas4 = jnp.concatenate([n_r, dets.normal_cam[:, 3:4]], axis=-1)
+
+    pn = _ingest_planes_impl(
+        pn, res.valid, res.lm_id, res.is_new, plane_w4, meas4, kf_idx, lm_info3
+    )
+    return graph, table, pn, dets, kf_idx
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol"))
+def _optimize_tick_planes(
+    graph,
+    table,
+    pn,
+    last_idx,
+    max_iterations: int,
+    min_edges: int,
+    rel_tol: float,
+):
+    """Planar-patch tick: joint pose+point+plane Schur LM (dense path),
+    then the same marginal recovery + table sync as the point path (the
+    centroid is a point landmark, so gating behaves exactly as in point
+    mode)."""
+    graph, pn, stats = planes_ext.lm_optimize_with_planes(
+        graph, pn, max_iterations=max_iterations, min_edges=min_edges,
+        rel_tol=rel_tol,
+    )
+    ran = (stats.iterations > 0) & (table.count > 0)
+    marg = lm_mod.landmark_marginals(graph)
+    t2 = assoc_mod.sync_from_graph(table, graph.landmarks, marg)
+    table = jax.tree.map(lambda a, b: jnp.where(ran, a, b), t2, table)
+    dtype = graph.poses.dtype
+    info = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    stats.iterations.astype(dtype),
+                    stats.chi2_initial.astype(dtype),
+                    stats.chi2_final.astype(dtype),
+                    stats.lambda_final.astype(dtype),
+                    graph.num_poses.astype(dtype),
+                    pn.num_planes.astype(dtype),
+                    graph.num_odom.astype(dtype),
+                    pn.num_pe.astype(dtype),
+                ]
+            ),
+            graph.poses[last_idx],
+        ]
+    )
+    return graph, table, pn, info
+
+
 class SlamEngine:
     """Single-session engine; feed with ``vio_callback``/``set_*`` then ``run()``."""
 
@@ -368,6 +513,9 @@ class SlamEngine:
         e20 = min(cap.initial_landmark_edges or cap.max_landmark_edges, cap.max_landmark_edges)
         self.graph = gs.make_graph(k0, l0, e10, e20, dtype=self.dtype)
         self.table = assoc_mod.make_table(l0, dtype=self.dtype)
+        # plane-landmark mode (beyond the reference): plane nodes sized like
+        # the landmark table; index identity with table ids holds here too
+        self.plane_nodes = planes_ext.make_planes(l0, e20, dtype=self.dtype)
         self.gate = KeyframeGate(
             config.keyframe.delta_trans, config.keyframe.delta_angle, config.keyframe.delta_time
         )
@@ -520,7 +668,41 @@ class SlamEngine:
         self._ensure_capacity(batch)
 
         t0 = time.perf_counter()
-        if len(batch) == 1:
+        if self.cfg.use_plane_landmarks:
+            for kf in batch:
+                has_prev = len(self.keyframes) > 0
+                prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
+                if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
+                    args, statics = self._kf_call_args(kf, prev_odom, has_prev)
+                    (
+                        self.graph, self.table, self.plane_nodes, dets, _
+                    ) = _process_keyframe_planes(
+                        self.graph, self.table, self.plane_nodes, *args, **statics
+                    )
+                    self.last_detected_objects = dets
+                else:
+                    self.graph, _ = _ingest_keyframe(
+                        self.graph,
+                        kf.odom.astype(self._npdt),
+                        np.asarray(prev_odom, self._npdt),
+                        has_prev,
+                        self._info6,
+                    )
+                kf.node_idx = self._n_poses
+                self._n_poses += 1
+                if has_prev:
+                    self._n_odom += 1
+                self.keyframes.append(kf)
+            self.graph, self.table, self.plane_nodes, info = _optimize_tick_planes(
+                self.graph,
+                self.table,
+                self.plane_nodes,
+                np.int32(self.keyframes[-1].node_idx),
+                max_iterations=self.cfg.solver.max_iterations,
+                min_edges=self.cfg.solver.min_edges_to_optimize,
+                rel_tol=self.cfg.solver.rel_decrease_tol,
+            )
+        elif len(batch) == 1:
             # common case: the whole tick (keyframe + frontend + association
             # + optimize + sync + stats) is ONE device program — one round
             # trip through the TPU tunnel
@@ -732,9 +914,12 @@ class SlamEngine:
             or need_oe > self.graph.odom_i.shape[0]
             or need_le > self.graph.lme_k.shape[0]
             or need_lms > self.graph.max_landmarks
+            or need_lms > self.plane_nodes.planes.shape[0]
+            or need_le > self.plane_nodes.pe_k.shape[0]
         ):
             self.graph = gs.grow_graph(self.graph)
             self.table = _grow_table(self.table)
+            self.plane_nodes = _grow_planes(self.plane_nodes)
             self.marginals = jnp.tile(
                 jnp.eye(3, dtype=self.dtype), (self.graph.max_landmarks, 1, 1)
             )
@@ -766,6 +951,21 @@ class SlamEngine:
             "plane_type": np.asarray(self.table.plane_type[:n]),
             "normal": np.asarray(self.table.normal[:n], np.float64),
         }
+
+
+def _grow_planes(pn, factor: int = 2):
+    big = planes_ext.make_planes(
+        pn.planes.shape[0] * factor, pn.pe_k.shape[0] * factor, pn.planes.dtype
+    )
+    return planes_ext.PlaneNodes(
+        planes=big.planes.at[: pn.planes.shape[0]].set(pn.planes),
+        num_planes=pn.num_planes,
+        pe_k=big.pe_k.at[: pn.pe_k.shape[0]].set(pn.pe_k),
+        pe_p=big.pe_p.at[: pn.pe_p.shape[0]].set(pn.pe_p),
+        pe_meas=big.pe_meas.at[: pn.pe_meas.shape[0]].set(pn.pe_meas),
+        pe_info=big.pe_info.at[: pn.pe_info.shape[0]].set(pn.pe_info),
+        num_pe=pn.num_pe,
+    )
 
 
 def _grow_table(t: assoc_mod.LandmarkTable, factor: int = 2) -> assoc_mod.LandmarkTable:

@@ -240,3 +240,32 @@ class TestReplayIO:
         assert len(log2.clouds) == len(log.clouds)
         np.testing.assert_allclose(log2.odom[5].pose7, log.odom[5].pose7)
         np.testing.assert_allclose(log2.clouds[0].points, log.clouds[0].points)
+
+
+class TestPlanarPatchMode:
+    def test_patch_mode_beats_or_matches_points(self):
+        """use_plane_landmarks: centroid (point) + orientation/offset (plane)
+        constraints per landmark — the paper's formulation layered on the
+        reference behavior. Must not regress vs point-only."""
+        log = synth_mod.make_synthetic_log(
+            seed=3, n_steps=360, sensor_every=5, drift_noise=0.008, loops=2.0
+        )
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+
+        ates = {}
+        for flag in (False, True):
+            eng = SlamEngine(e2e_config().replace(use_plane_landmarks=flag))
+            replay_mod.replay(log, eng)
+            kf_t = np.array([k.stamp for k in eng.keyframes])
+            kf_xyz = eng.get_keyframe_poses()[:, :3]
+            ates[flag] = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
+            if flag:
+                assert int(eng.plane_nodes.num_planes) == int(eng.graph.num_landmarks)
+                assert int(eng.plane_nodes.num_pe) >= 8
+                # optimized planes keep unit normals
+                n = int(eng.plane_nodes.num_planes)
+                nrm = np.linalg.norm(np.asarray(eng.plane_nodes.planes[:n, :3]), axis=1)
+                np.testing.assert_allclose(nrm, 1.0, atol=1e-6)
+        assert ates[True] <= ates[False] * 1.1
+        assert ates[True] < 0.35
