@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from semantic_slam_tpu.assoc.association import LandmarkTable
+from semantic_slam_tpu.graph.planes import PlaneNodes
 from semantic_slam_tpu.graph.state import GraphState
 
 
@@ -62,6 +63,7 @@ def save_checkpoint(path: str, engine) -> None:
         vio_traj_p=np.array([p for _, p in engine.vio_traj]).reshape(-1, 7),
         **{f"g_{k}": np.asarray(v) for k, v in g._asdict().items()},
         **{f"t_{k}": np.asarray(v) for k, v in t._asdict().items()},
+        **{f"p_{k}": np.asarray(v) for k, v in engine.plane_nodes._asdict().items()},
     )
 
 
@@ -95,6 +97,16 @@ def load_checkpoint(path: str, engine) -> None:
             for k in LandmarkTable._fields
         }
     )
+    if "p_planes" in z.files:
+        engine.plane_nodes = PlaneNodes(
+            **{
+                k: jnp.asarray(
+                    z[f"p_{k}"],
+                    dtype=(jnp.int32 if z[f"p_{k}"].dtype.kind == "i" else dtype),
+                )
+                for k in PlaneNodes._fields
+            }
+        )
     engine.marginals = jnp.asarray(z["marginals"], dtype)
     engine.robot_pose = z["robot_pose"].astype(np.float64)
     engine.vio_pose = z["vio_pose"].astype(np.float64)

@@ -155,3 +155,31 @@ class TestVizAndCli:
 
         assert CLASS_COLORS[2] == CLASS_COLORS[5]  # book == bucket
         assert CLASS_COLORS[4] == CLASS_COLORS[6]  # laptop == car
+
+
+class TestPlaneCheckpoint:
+    def test_plane_nodes_round_trip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_e2e import e2e_config
+
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        cfg = e2e_config().replace(use_plane_landmarks=True)
+        log = synth_mod.make_synthetic_log(seed=5, n_steps=150, sensor_every=6, H=120, W=160)
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        assert int(eng.plane_nodes.num_planes) > 0
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, eng)
+        eng2 = SlamEngine(cfg)
+        load_checkpoint(p, eng2)
+        assert int(eng2.plane_nodes.num_planes) == int(eng.plane_nodes.num_planes)
+        np.testing.assert_allclose(
+            np.asarray(eng2.plane_nodes.planes), np.asarray(eng.plane_nodes.planes)
+        )
+        assert int(eng2.plane_nodes.num_pe) == int(eng.plane_nodes.num_pe)
