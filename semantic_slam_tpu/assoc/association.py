@@ -83,6 +83,9 @@ def associate(
     land_noise: jax.Array,  # Q_ diagonal value (used as variance, :64-66)
     strict_frames: bool = True,
     rtabmap_y_offset: bool = False,
+    use_plane_gate: jax.Array | bool = False,
+    plane_cos_thres: jax.Array | float = 0.866,
+    plane_offset_thres: jax.Array | float = 0.5,
 ) -> tuple[LandmarkTable, AssocResult]:
     """Vectorized association with exact sequential-table semantics.
 
@@ -128,10 +131,33 @@ def associate(
         & (table.class_id[None, :] == dets.class_id[:, None])
         & (table.plane_type[None, :] == dets.plane_type[:, None])
     )
+
+    # optional plane-aware gate (beyond the reference's h/v label): world
+    # normals must agree within the angle threshold AND the plane offsets
+    # within the offset threshold. The stored 4th coefficient is the raw
+    # cam-frame d (rotation-only chain, data_association.h:345-359), which is
+    # NOT viewpoint-invariant — so offsets are re-derived through the world
+    # centroids as d = -n . c. (n,d) ~ (-n,-d) invariance via |dot| + sign
+    # alignment.
+    use_pg = jnp.asarray(use_plane_gate, bool)
+
+    def _plane_gate(na, ca, nb, cb):
+        """Normals na [A,3] @ centroids ca [A,3] vs nb/cb [B,..] -> ok [A,B]."""
+        na_u = na / jnp.maximum(jnp.linalg.norm(na, axis=-1, keepdims=True), 1e-12)
+        nb_u = nb / jnp.maximum(jnp.linalg.norm(nb, axis=-1, keepdims=True), 1e-12)
+        da = -jnp.sum(na_u * ca, axis=-1)
+        db = -jnp.sum(nb_u * cb, axis=-1)
+        ndot = jnp.einsum("ad,bd->ab", na_u, nb_u)
+        s = jnp.where(ndot < 0, -1.0, 1.0).astype(dtype)
+        angle_ok = jnp.abs(ndot) >= plane_cos_thres
+        off_ok = jnp.abs(da[:, None] - s * db[None, :]) <= plane_offset_thres
+        return angle_ok & off_ok
     z = w_all[:, None, :] - table.world[None, :, :]  # [M, L, 3]
     d_eq = jnp.linalg.norm(z, axis=-1)
     Qm_inv = inv33(table.cov + Q_meas[None])  # [L, 3, 3]
     d_maha = jnp.einsum("mli,lij,mlj->ml", z, Qm_inv, z)
+    pg_exist = _plane_gate(n_all[:, :3], w_all, table.normal[:, :3], table.world)
+    type_ok = type_ok & (pg_exist | ~use_pg)
     d_exist = jnp.where(use_maha, d_maha, d_eq)
     d_exist = jnp.where(type_ok & (~first_frame), d_exist, big)
 
@@ -142,11 +168,13 @@ def associate(
     d_maha2 = jnp.einsum("mni,ij,mnj->mn", dz, twoQ_inv, dz)
     d_intra_raw = jnp.where(use_maha, d_maha2, d_eq2)
     earlier = jnp.tril(jnp.ones((M, M), bool), k=-1)
+    pg_intra = _plane_gate(n_all[:, :3], w_all, n_all[:, :3], w_all)
     pair_type_ok = (
         earlier
         & dets.valid[None, :]
         & (dets.class_id[None, :] == dets.class_id[:, None])
         & (dets.plane_type[None, :] == dets.plane_type[:, None])
+        & (pg_intra | ~use_pg)
     ) & (~first_frame)
 
     # --- sequential recurrence: which detections become new landmarks ----

@@ -73,6 +73,13 @@ class AssociationConfig:
     # Reference bug (SURVEY quirk 2): distance_min not reset per detection.
     # We fix it by default; set True to reproduce the reference behaviour.
     replicate_distance_min_bug: bool = False
+    # Plane-aware gating (beyond the reference): additionally require the
+    # candidate landmark's world plane to agree in orientation (normal angle)
+    # and offset before a centroid match is accepted. Off by default —
+    # reference semantics are centroid-only.
+    use_plane_gate: bool = False
+    plane_angle_thres_deg: float = 30.0
+    plane_offset_thres: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +120,12 @@ class SolverConfig:
     # RobustKernelDCS is uninitialized UB — PARITY quirk 1): 'none'|'huber'|'dcs'
     robust_kernel: str = "none"
     robust_delta: float = 1.0
+    # Throughput knob (DIVERGENCE from the reference, which re-optimizes the
+    # full graph on every tick that ingested keyframes): run the LM solve only
+    # every Nth such tick. 1 = reference behavior. Ticks in between still
+    # ingest keyframes/landmarks; robot_pose keeps dead-reckoning off the last
+    # optimized estimate until the next solve.
+    optimize_every_n_ticks: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -176,6 +176,68 @@ def so3_left_jacobian_inv(w: jax.Array) -> jax.Array:
     return eye - 0.5 * W + cot_term * W2
 
 
+def se3_Q_matrix(xi: jax.Array) -> jax.Array:
+    """Barfoot's Q(v, w) block of the SE(3) left Jacobian (State Estimation
+    for Robotics eq. 7.86), batched. xi = [v, w], translation first."""
+    v, w = xi[..., :3], xi[..., 3:]
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    theta = jnp.sqrt(theta2 + 1e-32)
+    V = hat(v)
+    W = hat(w)
+    WV = W @ V
+    VW = V @ W
+    WW = W @ W
+    small = theta2 < 1e-8
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    c1 = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - s) / jnp.maximum(theta2 * theta, 1e-32)
+    )
+    c2 = jnp.where(
+        small,
+        1.0 / 24.0 - theta2 / 720.0,
+        (theta2 + 2.0 * c - 2.0) / jnp.maximum(2.0 * theta2 * theta2, 1e-32),
+    )
+    c3 = jnp.where(
+        small,
+        1.0 / 120.0 - theta2 / 2520.0,
+        (2.0 * theta - 3.0 * s + theta * c) / jnp.maximum(2.0 * theta2 * theta2 * theta, 1e-32),
+    )
+    return (
+        0.5 * V
+        + c1 * (WV + VW + W @ VW)
+        + c2 * (WW @ V + V @ WW - 3.0 * (W @ VW))
+        + c3 * ((W @ VW) @ W + WW @ VW)
+    )
+
+
+def se3_right_jacobian_inv(xi: jax.Array) -> jax.Array:
+    """Inverse right Jacobian of SE(3) at twist xi = [v, w] (6x6, batched).
+
+    Jr(xi) = Jl(-xi), so Jr^-1 = [[Jl^-1(-w), -Jl^-1(-w) Q(-xi) Jl^-1(-w)],
+                                  [0,          Jl^-1(-w)]].
+    This is the first-order map log(exp(r) exp(dxi)) ~= r + Jr^-1(r) dxi the
+    SE3-SE3 edge Jacobians need.
+    """
+    Jinv = so3_left_jacobian_inv(-xi[..., 3:])
+    Q = se3_Q_matrix(-xi)
+    top_right = -(Jinv @ Q @ Jinv)
+    zero = jnp.zeros_like(Jinv)
+    top = jnp.concatenate([Jinv, top_right], axis=-1)
+    bottom = jnp.concatenate([zero, Jinv], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def pose_adjoint(p: jax.Array) -> jax.Array:
+    """Adjoint Ad(T) of a pose7 acting on [v, w] twists:
+    Ad = [[R, hat(t) R], [0, R]]."""
+    R = quat_to_rotmat(p[..., 3:])
+    tR = hat(p[..., :3]) @ R
+    zero = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bottom = jnp.concatenate([zero, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # Pose7 = [t(3), q(4)]
 # ---------------------------------------------------------------------------

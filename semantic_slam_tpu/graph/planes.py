@@ -182,8 +182,7 @@ def lm_optimize_with_planes(
         return (it < max_iterations) & jnp.logical_not(done)
 
     def body(carry):
-        g_, pn_, lam, nu, it, done = carry
-        lin = linearize_with_planes(g_, pn_)
+        g_, pn_, lin, lam, nu, it, done = carry
         dp, db = lm_mod.schur_solve(lin, pose_free, block_free, lam)
         g_t, pn_t = apply(g_, pn_, dp, db)
         chi2_new = chi2_with_planes(g_t, pn_t)
@@ -202,10 +201,15 @@ def lm_optimize_with_planes(
         nu = jnp.where(accept, 2.0, nu * 2.0)
         converged = accept & ((lin.chi2 - chi2_new) <= rel_tol * jnp.maximum(lin.chi2, 1e-12))
         done = converged | (lam > 1e12)
-        return g_, pn_, lam, nu, it + 1, done
+        lin = jax.lax.cond(
+            accept & jnp.logical_not(done),
+            lambda: linearize_with_planes(g_, pn_),
+            lambda: lin,
+        )
+        return g_, pn_, lin, lam, nu, it + 1, done
 
-    init = (g, pn, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    g_out, pn_out, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    init = (g, pn, lin0, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    g_out, pn_out, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
 
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g_out = jax.tree.map(lambda a, b: jnp.where(run, a, b), g_out, g)

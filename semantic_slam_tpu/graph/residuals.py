@@ -38,7 +38,26 @@ def se3_edge_residual(pose_i: jax.Array, pose_j: jax.Array, meas: jax.Array) -> 
 def se3_edge_residual_jac(
     pose_i: jax.Array, pose_j: jax.Array, meas: jax.Array
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Residual [6] and Jacobians [6,6] wrt right-perturbations of i and j."""
+    """Residual [6] and Jacobians [6,6] wrt right-perturbations of i and j.
+
+    Analytic (Barfoot Q-matrix) form: with E = Z^-1 X_i^-1 X_j and r = log E,
+      X_j <- X_j exp(xi_j):  E' = E exp(xi_j)              => J_j = Jr^-1(r)
+      X_i <- X_i exp(xi_i):  E' = E exp(-Ad(T_ij^-1) xi_i) => J_i = -J_j Ad(T_ij^-1)
+    where T_ij = X_i^-1 X_j. Verified against forward-mode AD
+    (``se3_edge_residual_jac_ad``) in tests.
+    """
+    rel = geo.pose_mul(geo.pose_inv(pose_i), pose_j)
+    r = geo.se3_log(geo.pose_mul(geo.pose_inv(meas), rel))
+    Jj = geo.se3_right_jacobian_inv(r)
+    Ji = -(Jj @ geo.pose_adjoint(geo.pose_inv(rel)))
+    return r, Ji, Jj
+
+
+def se3_edge_residual_jac_ad(
+    pose_i: jax.Array, pose_j: jax.Array, meas: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Forward-mode AD reference implementation (12 tangents) — kept as the
+    ground truth the analytic path is tested against."""
 
     def f(xi: jax.Array) -> jax.Array:
         return se3_edge_residual(

@@ -42,6 +42,17 @@ class CloudEvent:
 
 
 @dataclasses.dataclass
+class DepthEvent:
+    """Raw u16 depth frame + pinhole intrinsics — the compact alternative to
+    CloudEvent (backprojection happens on-device, frontend/depth.py)."""
+
+    t: float
+    depth: np.ndarray  # [H, W] u16
+    intrinsics: np.ndarray  # [4] (fx, fy, cx, cy)
+    depth_scale: float = 1e-3
+
+
+@dataclasses.dataclass
 class DetectionEvent:
     t: float
     boxes: np.ndarray  # [D, 4] tl_x, tl_y, w, h
@@ -59,6 +70,7 @@ class GtEvent:
 class ReplayLog:
     odom: list[OdomEvent] = dataclasses.field(default_factory=list)
     clouds: list[CloudEvent] = dataclasses.field(default_factory=list)
+    depths: list[DepthEvent] = dataclasses.field(default_factory=list)
     detections: list[DetectionEvent] = dataclasses.field(default_factory=list)
     gt: list[GtEvent] = dataclasses.field(default_factory=list)
 
@@ -69,6 +81,7 @@ class ReplayLog:
         inside one spinOnce)."""
         tagged = (
             [(e.t, 0, e) for e in self.clouds]
+            + [(e.t, 0, e) for e in self.depths]
             + [(e.t, 1, e) for e in self.detections]
             + [(e.t, 2, e) for e in self.odom]
             + [(e.t, 3, e) for e in self.gt]
@@ -120,6 +133,8 @@ def replay(log: ReplayLog, engine, tick_hz: float = 30.0, run_ticks: bool = True
             # host numpy straight through — the engine transfers a cloud to
             # the device only if a detection keyframe actually consumes it
             engine.set_point_cloud(ev.points, ev.valid)
+        elif isinstance(ev, DepthEvent):
+            engine.set_depth_image(ev.depth, ev.intrinsics, ev.depth_scale)
         elif isinstance(ev, DetectionEvent):
             engine.set_detections(ev.boxes, ev.class_ids, ev.probs)
         elif isinstance(ev, OdomEvent):
@@ -204,6 +219,10 @@ def save_log(path: str, log: ReplayLog) -> None:
         cloud_t=np.array([e.t for e in log.clouds]),
         cloud_points=np.array([e.points for e in log.clouds], np.float32),
         cloud_valid=np.array([e.valid for e in log.clouds]),
+        depth_t=np.array([e.t for e in log.depths]),
+        depth_img=np.array([e.depth for e in log.depths], np.uint16),
+        depth_intr=np.array([e.intrinsics for e in log.depths], np.float64).reshape(-1, 4),
+        depth_scale=np.array([e.depth_scale for e in log.depths], np.float64),
         det_t=np.array([e.t for e in log.detections]),
         det_boxes=det_boxes,
         det_cids=det_cids,
@@ -221,6 +240,11 @@ def load_log(path: str) -> ReplayLog:
         log.odom.append(OdomEvent(float(t), p, None, str(s)))
     for t, pts, v in zip(z["cloud_t"], z["cloud_points"], z["cloud_valid"]):
         log.clouds.append(CloudEvent(float(t), pts, v))
+    if "depth_t" in z.files:
+        for t, d, intr, s in zip(
+            z["depth_t"], z["depth_img"], z["depth_intr"], z["depth_scale"]
+        ):
+            log.depths.append(DepthEvent(float(t), d, intr, float(s)))
     det_n = z["det_n"] if "det_n" in z.files else None
     for i, (t, b, c, pr) in enumerate(
         zip(z["det_t"], z["det_boxes"], z["det_cids"], z["det_probs"])

@@ -7,11 +7,12 @@ scattered into a dense device-resident voxel grid. The map->odom TF that the
 reference publishes so octomap sees drift-corrected clouds is inherent here
 — voxelization consumes the corrected poses directly.
 
-Divergence (documented): octomap performs probabilistic ray-casting updates
-(occupied + free space along each beam). This grid does hit-count/log-odds
-occupancy of endpoints only — the part consumed by the reference pipeline's
-outputs — as a fully batched scatter-add. Free-space carving can be layered
-on with a DDA pallas kernel in a later round.
+Free-space carving (octomap's beam-miss updates) is TPU-native here: instead
+of per-ray serial DDA walks, every beam is sampled at a STATIC number of
+points spaced at most one voxel apart — a dense [N,S,3] tensor scattered in
+one shot. Choose ``samples >= max_range / resolution`` and the sample chain
+crosses every voxel the exact DDA would (up to corner-clipping ties), with
+zero data-dependent control flow.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ from semantic_slam_tpu.core import frames
 
 class VoxelGrid(NamedTuple):
     hits: jax.Array  # [X, Y, Z] int32 endpoint counts
+    misses: jax.Array  # [X, Y, Z] int32 free-space (beam pass-through) counts
     origin: jax.Array  # [3] world position of voxel (0,0,0) corner
     resolution: jax.Array  # scalar, meters
 
@@ -39,6 +41,7 @@ def make_grid(
 ) -> VoxelGrid:
     return VoxelGrid(
         hits=jnp.zeros(dims, jnp.int32),
+        misses=jnp.zeros(dims, jnp.int32),
         origin=jnp.asarray(origin, dtype),
         resolution=jnp.asarray(resolution, dtype),
     )
@@ -77,9 +80,78 @@ def insert_keyframe_cloud(
     return insert_world_points(grid, w, cloud_valid.reshape(-1))
 
 
+@partial(jax.jit, static_argnames=("samples",))
+def carve_free_space(
+    grid: VoxelGrid,
+    sensor_origin_w: jax.Array,  # [3] beam origin in world
+    pts_world: jax.Array,  # [N, 3] beam endpoints in world
+    valid: jax.Array,  # [N]
+    samples: int = 128,
+) -> VoxelGrid:
+    """Mark voxels traversed by the beams as free (octomap's miss updates).
+
+    Each ray is sampled at ``samples`` points in (0, 1) exclusive of the
+    endpoint voxel; pick ``samples >= max_range / resolution`` so consecutive
+    samples are at most one voxel apart. Out-of-bounds samples and samples
+    landing in the endpoint voxel are dropped.
+    """
+    dtype = pts_world.dtype
+    dims = jnp.asarray(grid.hits.shape, jnp.int32)
+    t = ((jnp.arange(samples, dtype=dtype) + 0.5) / samples)[None, :, None]
+    ray = pts_world[:, None, :] - sensor_origin_w[None, None, :]
+    pts = sensor_origin_w[None, None, :] + t * ray  # [N, S, 3]
+
+    idx = jnp.floor((pts - grid.origin) / grid.resolution).astype(jnp.int32)
+    end_idx = jnp.floor((pts_world - grid.origin) / grid.resolution).astype(jnp.int32)
+    is_end = jnp.all(idx == end_idx[:, None, :], axis=-1)
+    inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
+    upd = (inb & ~is_end & valid[:, None]).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, dims - 1)
+    return grid._replace(
+        misses=grid.misses.at[
+            idx[..., 0], idx[..., 1], idx[..., 2]
+        ].add(upd)
+    )
+
+
+@partial(jax.jit, static_argnames=("strict_frames", "samples"))
+def insert_keyframe_cloud_carving(
+    grid: VoxelGrid,
+    points_cam: jax.Array,
+    cloud_valid: jax.Array,
+    robot_xyzrpy: jax.Array,
+    cam_angle: jax.Array,
+    strict_frames: bool = True,
+    samples: int = 128,
+) -> VoxelGrid:
+    """Endpoint hits + free-space carving for one keyframe cloud, fused."""
+    T = frames.t_cam_world(robot_xyzrpy, cam_angle, strict=strict_frames)
+    pts = points_cam.reshape(-1, 3)
+    w = jnp.einsum("ij,nj->ni", T[:3, :3], pts) + robot_xyzrpy[:3][None, :]
+    v = cloud_valid.reshape(-1)
+    grid = insert_world_points(grid, w, v)
+    return carve_free_space(grid, robot_xyzrpy[:3], w, v, samples=samples)
+
+
 @partial(jax.jit, static_argnames=("min_hits",))
 def occupied_mask(grid: VoxelGrid, min_hits: int = 2) -> jax.Array:
     return grid.hits >= min_hits
+
+
+@jax.jit
+def occupancy_log_odds(
+    grid: VoxelGrid, l_occ: float = 0.85, l_free: float = -0.4
+) -> jax.Array:
+    """Per-voxel log-odds combining endpoint hits and beam misses (octomap's
+    sensor model with the standard 0.85 / -0.4 weights)."""
+    return grid.hits * l_occ + grid.misses * l_free
+
+
+@partial(jax.jit, static_argnames=())
+def occupied_mask_probabilistic(grid: VoxelGrid, thres: float = 0.85) -> jax.Array:
+    """Occupied = accumulated log-odds above threshold — unlike the count
+    mask, a voxel seen through by many later beams decays back to free."""
+    return occupancy_log_odds(grid) >= thres
 
 
 def occupied_centers(grid: VoxelGrid, min_hits: int = 2):

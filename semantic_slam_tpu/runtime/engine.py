@@ -43,6 +43,7 @@ from semantic_slam_tpu.graph import planes as planes_ext
 from semantic_slam_tpu.config import CLASS_TO_ID, PLANE_VERTICAL, SlamConfig
 from semantic_slam_tpu.core import geometry as geo
 from semantic_slam_tpu.core import np_geometry as npg
+from semantic_slam_tpu.frontend import depth as depth_mod
 from semantic_slam_tpu.frontend import segmentation as seg_mod
 from semantic_slam_tpu.graph import state as gs
 from semantic_slam_tpu.runtime.keyframe_gate import KeyframeGate
@@ -65,6 +66,9 @@ class KeyframeMeta:
     class_ids: np.ndarray | None
     probs: np.ndarray | None
     node_idx: int | None = None
+    # depth-image mode: cloud holds ([H,W] u16 depth, None) and these are set
+    depth_intr: np.ndarray | None = None  # [4] (fx, fy, cx, cy)
+    depth_scale: float = 1e-3
 
 
 @jax.jit
@@ -74,6 +78,48 @@ def _ingest_keyframe(graph: gs.GraphState, odom7, prev_odom7, has_prev, info6):
     with_edge = gs.add_se3_edge(graph, idx - 1, idx, meas, info6)
     graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
     return graph, idx
+
+
+@jax.jit
+def _ingest_keyframes_batch(
+    graph: gs.GraphState, odoms, valid, prev_odom7, has_prev, info6
+):
+    """Append a RUN of detection-less keyframes in ONE device program.
+
+    ``odoms [B,7]`` with a prefix-valid mask (padding rows at the end, for
+    power-of-two compile buckets). Nodes land at ``num_poses + rank``; each
+    valid row also appends the chain odometry edge ``prev^-1 * odom``
+    (semantic_graph_slam.cpp:104-150 semantics), except row 0 when the graph
+    was empty. Replaces B separate dispatch round trips through the TPU
+    tunnel with one.
+    """
+    B = odoms.shape[0]
+    K = graph.poses.shape[0]
+    E1 = graph.odom_i.shape[0]
+    dtype = graph.poses.dtype
+
+    v32 = valid.astype(jnp.int32)
+    rank = jnp.cumsum(v32) - 1
+    tgt = jnp.where(valid, graph.num_poses + rank, K)
+    poses = graph.poses.at[tgt].set(odoms.astype(dtype), mode="drop")
+
+    prevs = jnp.concatenate([prev_odom7[None], odoms[:-1]], axis=0)
+    meas = jax.vmap(lambda a, b: geo.pose_mul(geo.pose_inv(a), b))(prevs, odoms)
+
+    evalid = valid & (has_prev | (jnp.arange(B) > 0))
+    erank = jnp.cumsum(evalid.astype(jnp.int32)) - 1
+    e_tgt = jnp.where(evalid, graph.num_odom + erank, E1)
+    return graph._replace(
+        poses=poses,
+        num_poses=graph.num_poses + jnp.sum(v32),
+        odom_i=graph.odom_i.at[e_tgt].set((tgt - 1).astype(jnp.int32), mode="drop"),
+        odom_j=graph.odom_j.at[e_tgt].set(tgt.astype(jnp.int32), mode="drop"),
+        odom_meas=graph.odom_meas.at[e_tgt].set(meas.astype(dtype), mode="drop"),
+        odom_info=graph.odom_info.at[e_tgt].set(
+            jnp.broadcast_to(info6.astype(dtype), (B, 6, 6)), mode="drop"
+        ),
+        num_odom=graph.num_odom + jnp.sum(evalid.astype(jnp.int32)),
+    )
 
 
 def _ingest_landmarks_impl(graph: gs.GraphState, valid, lm_id, is_new, local, world, kf_idx, info3):
@@ -126,9 +172,12 @@ def _process_keyframe_impl(
     prev_odom7,
     has_prev,
     info6,
-    # sensors
+    # sensors (points is [H,W,3] xyz, or a [H,W] u16 depth image when
+    # depth_input=True — backprojected on-device, 6x smaller transfers)
     points,
     cloud_valid,
+    cam_intr,
+    depth_scale,
     boxes,
     class_ids,
     probs,
@@ -145,6 +194,9 @@ def _process_keyframe_impl(
     maha_thres,
     eq_thres,
     land_noise,
+    use_plane_gate,
+    plane_cos_thres,
+    plane_offset_thres,
     lm_info3,
     samp_h: int,
     samp_w: int,
@@ -153,13 +205,20 @@ def _process_keyframe_impl(
     smoothing_size: int,
     strict_frames: bool,
     use_rtabmap_offset: bool,
+    depth_input: bool = False,
 ):
     """ONE device program per detection-bearing keyframe: node+edge append,
-    frontend, association, landmark ingestion."""
+    (optional depth backprojection,) frontend, association, landmark
+    ingestion."""
     graph, kf_idx = gs.add_se3_node(graph, odom7)
     meas = geo.pose_mul(geo.pose_inv(prev_odom7), odom7)
     with_edge = gs.add_se3_edge(graph, kf_idx - 1, kf_idx, meas, info6)
     graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
+
+    if depth_input:
+        points, cloud_valid = depth_mod.backproject_depth(
+            points, cam_intr, depth_scale
+        )
 
     dets = seg_mod.segment_all(
         points,
@@ -193,6 +252,9 @@ def _process_keyframe_impl(
         land_noise,
         strict_frames=strict_frames,
         rtabmap_y_offset=use_rtabmap_offset,
+        use_plane_gate=use_plane_gate,
+        plane_cos_thres=plane_cos_thres,
+        plane_offset_thres=plane_offset_thres,
     )
 
     graph = _ingest_landmarks_impl(
@@ -204,7 +266,7 @@ def _process_keyframe_impl(
 
 _PROC_STATICS = (
     "samp_h", "samp_w", "max_planes", "num_hypotheses", "smoothing_size",
-    "strict_frames", "use_rtabmap_offset",
+    "strict_frames", "use_rtabmap_offset", "depth_input",
 )
 _OPT_STATICS = (
     "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
@@ -230,12 +292,13 @@ def _optimize_tick_impl(
     pcg_iters: int = 128,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    do_opt=True,
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
     lax.cond so empty ticks are nearly free."""
 
-    def do_opt(operand):
+    def do_opt_branch(operand):
         g, t, marg = operand
         if linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
@@ -267,9 +330,9 @@ def _optimize_tick_impl(
         )
         return g, t, marg, stats
 
-    run = graph.num_edges() >= min_edges
+    run = (graph.num_edges() >= min_edges) & jnp.asarray(do_opt, bool)
     graph, table, marginals, stats = jax.lax.cond(
-        run, do_opt, skip, (graph, table, marginals)
+        run, do_opt_branch, skip, (graph, table, marginals)
     )
 
     dtype = graph.poses.dtype
@@ -309,6 +372,7 @@ def _tick_fused_detect(
     smoothing_size,
     strict_frames,
     use_rtabmap_offset,
+    depth_input,
     max_iterations,
     min_edges,
     rel_tol,
@@ -316,6 +380,7 @@ def _tick_fused_detect(
     pcg_iters,
     robust_kind,
     robust_delta,
+    do_opt=True,
 ):
     """Single-keyframe tick fused into ONE device program: keyframe ingest +
     frontend + association + landmark ingest + LM optimize + marginals +
@@ -325,12 +390,13 @@ def _tick_fused_detect(
         samp_h=samp_h, samp_w=samp_w, max_planes=max_planes,
         num_hypotheses=num_hypotheses, smoothing_size=smoothing_size,
         strict_frames=strict_frames, use_rtabmap_offset=use_rtabmap_offset,
+        depth_input=depth_input,
     )
     graph, table, marginals, info = _optimize_tick_impl(
         graph, table, marginals, kf_idx,
         max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol,
         linear_solver=linear_solver, pcg_iters=pcg_iters,
-        robust_kind=robust_kind, robust_delta=robust_delta,
+        robust_kind=robust_kind, robust_delta=robust_delta, do_opt=do_opt,
     )
     return graph, table, marginals, dets, info
 
@@ -344,6 +410,7 @@ def _tick_fused_plain(
     prev_odom7,
     has_prev,
     info6,
+    do_opt=True,
     **opt_statics,
 ):
     """Single detection-less keyframe tick fused into one program."""
@@ -351,7 +418,9 @@ def _tick_fused_plain(
     meas = geo.pose_mul(geo.pose_inv(prev_odom7), odom7)
     with_edge = gs.add_se3_edge(graph, kf_idx - 1, kf_idx, meas, info6)
     graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
-    return _optimize_tick_impl(graph, table, marginals, kf_idx, **opt_statics)
+    return _optimize_tick_impl(
+        graph, table, marginals, kf_idx, do_opt=do_opt, **opt_statics
+    )
 
 
 def _ingest_planes_impl(pn, valid, lm_id, is_new, plane_w4, meas4, kf_idx, info3):
@@ -392,6 +461,7 @@ def _process_keyframe_planes(
     smoothing_size,
     strict_frames,
     use_rtabmap_offset,
+    depth_input=False,
 ):
     """Planar-patch variant of the keyframe program: identical ingestion,
     frontend, and (centroid-based, reference-semantics) association; each
@@ -400,16 +470,23 @@ def _process_keyframe_planes(
     surface orientation/offset (3 dof) — the paper's plane formulation
     layered on top of the reference's point behavior."""
     (
-        odom7, prev_odom7, has_prev, info6, points, cloud_valid, boxes,
+        odom7, prev_odom7, has_prev, info6, points, cloud_valid,
+        cam_intr, depth_scale, boxes,
         class_ids, probs, robot_xyzrpy, cam_angle, num_point_seg,
         norm_point_thres, planar_area, distance_thres, cos_angular_thres,
-        use_maha, maha_thres, eq_thres, land_noise, lm_info3,
+        use_maha, maha_thres, eq_thres, land_noise,
+        use_plane_gate, plane_cos_thres, plane_offset_thres, lm_info3,
     ) = proc_args
 
     graph, kf_idx = gs.add_se3_node(graph, odom7)
     meas = geo.pose_mul(geo.pose_inv(prev_odom7), odom7)
     with_edge = gs.add_se3_edge(graph, kf_idx - 1, kf_idx, meas, info6)
     graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
+
+    if depth_input:
+        points, cloud_valid = depth_mod.backproject_depth(
+            points, cam_intr, depth_scale
+        )
 
     dets = seg_mod.segment_all(
         points, cloud_valid, boxes, class_ids, probs, robot_xyzrpy, cam_angle,
@@ -423,6 +500,9 @@ def _process_keyframe_planes(
         table, dets, robot_xyzrpy, cam_angle, use_maha, maha_thres, eq_thres,
         land_noise, strict_frames=strict_frames,
         rtabmap_y_offset=use_rtabmap_offset,
+        use_plane_gate=use_plane_gate,
+        plane_cos_thres=plane_cos_thres,
+        plane_offset_thres=plane_offset_thres,
     )
 
     graph = _ingest_landmarks_impl(
@@ -454,7 +534,7 @@ def _process_keyframe_planes(
     return graph, table, pn, dets, kf_idx
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol"))
+@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters"))
 def _optimize_tick_planes(
     graph,
     table,
@@ -463,19 +543,48 @@ def _optimize_tick_planes(
     max_iterations: int,
     min_edges: int,
     rel_tol: float,
+    linear_solver: str = "dense",
+    pcg_iters: int = 128,
+    do_opt=True,
 ):
-    """Planar-patch tick: joint pose+point+plane Schur LM (dense path),
-    then the same marginal recovery + table sync as the point path (the
-    centroid is a point landmark, so gating behaves exactly as in point
-    mode)."""
-    graph, pn, stats = planes_ext.lm_optimize_with_planes(
-        graph, pn, max_iterations=max_iterations, min_edges=min_edges,
-        rel_tol=rel_tol,
+    """Planar-patch tick: joint pose+point+plane Schur LM (dense Cholesky or
+    matrix-free PCG per ``linear_solver``), then the same marginal recovery +
+    table sync as the point path (the centroid is a point landmark, so gating
+    behaves exactly as in point mode)."""
+
+    def do_branch(operand):
+        graph, table, pn = operand
+        if linear_solver == "pcg":
+            from semantic_slam_tpu.solver import pcg as pcg_mod
+
+            graph, pn, stats = pcg_mod.lm_optimize_pcg_planes(
+                graph, pn, max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol, max_cg_iters=pcg_iters,
+            )
+        else:
+            graph, pn, stats = planes_ext.lm_optimize_with_planes(
+                graph, pn, max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol,
+            )
+        ran = (stats.iterations > 0) & (table.count > 0)
+        marg = lm_mod.landmark_marginals(graph)
+        t2 = assoc_mod.sync_from_graph(table, graph.landmarks, marg)
+        table = jax.tree.map(lambda a, b: jnp.where(ran, a, b), t2, table)
+        return graph, table, pn, stats
+
+    def skip(operand):
+        graph, table, pn = operand
+        stats = lm_mod.LMStats(
+            iterations=jnp.zeros((), jnp.int32),
+            chi2_initial=jnp.zeros((), graph.poses.dtype),
+            chi2_final=jnp.zeros((), graph.poses.dtype),
+            lambda_final=jnp.zeros((), graph.poses.dtype),
+        )
+        return graph, table, pn, stats
+
+    graph, table, pn, stats = jax.lax.cond(
+        jnp.asarray(do_opt, bool), do_branch, skip, (graph, table, pn)
     )
-    ran = (stats.iterations > 0) & (table.count > 0)
-    marg = lm_mod.landmark_marginals(graph)
-    t2 = assoc_mod.sync_from_graph(table, graph.landmarks, marg)
-    table = jax.tree.map(lambda a, b: jnp.where(ran, a, b), t2, table)
     dtype = graph.poses.dtype
     info = jnp.concatenate(
         [
@@ -527,7 +636,8 @@ class SlamEngine:
         self.map2odom = ident.copy()
         self.first_key_added = False
 
-        self._cloud: tuple[np.ndarray, np.ndarray] | None = None
+        self._cloud: tuple[np.ndarray, np.ndarray | None] | None = None
+        self._cloud_depth_meta: tuple[np.ndarray, float] | None = None
         self._cloud_available = False
         self._dets: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._det_available = False
@@ -535,6 +645,9 @@ class SlamEngine:
         self.keyframe_queue: list[KeyframeMeta] = []
         self.keyframes: list[KeyframeMeta] = []
         self.marginals = jnp.tile(jnp.eye(3, dtype=self.dtype), (l0, 1, 1))
+
+        # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
+        self._ticks_done = 0
 
         # host mirrors of device counts (kept exact via the per-tick stats
         # fetch; used for capacity checks without forcing device syncs)
@@ -582,6 +695,9 @@ class SlamEngine:
             jax.device_put(npdt(a.maha_dist_thres)),
             jax.device_put(npdt(a.eq_dist_thres)),
             jax.device_put(npdt(a.land_noise_low)),
+            jax.device_put(np.bool_(a.use_plane_gate)),
+            jax.device_put(npdt(np.cos(np.deg2rad(a.plane_angle_thres_deg)))),
+            jax.device_put(npdt(a.plane_offset_thres)),
         )
         self._cam_angle_dev = jax.device_put(npdt(config.camera_angle_rad))
 
@@ -596,6 +712,16 @@ class SlamEngine:
         # stored host-side; transferred to device only if a keyframe with
         # detections actually consumes it
         self._cloud = (np.asarray(points), np.asarray(valid))
+        self._cloud_depth_meta = None
+        self._cloud_available = True
+
+    def set_depth_image(self, depth, intrinsics, depth_scale: float = 1e-3) -> None:
+        """u16 depth-image ingestion (PointCloudCallback analog with the
+        depth_image_proc backprojection moved on-device): 2 bytes/px cross
+        the tunnel instead of 12, and the organized cloud is materialized
+        inside the keyframe program."""
+        self._cloud = (np.asarray(depth, np.uint16), None)
+        self._cloud_depth_meta = (np.asarray(intrinsics, np.float64), float(depth_scale))
         self._cloud_available = True
 
     def set_detections(self, boxes: np.ndarray, class_ids: np.ndarray, probs: np.ndarray) -> None:
@@ -624,6 +750,7 @@ class SlamEngine:
         else:
             boxes = cids = probs = None
 
+        dm = self._cloud_depth_meta
         self.keyframe_queue.append(
             KeyframeMeta(
                 stamp=stamp,
@@ -634,6 +761,8 @@ class SlamEngine:
                 boxes=boxes,
                 class_ids=cids,
                 probs=probs,
+                depth_intr=None if dm is None else dm[0],
+                depth_scale=1e-3 if dm is None else dm[1],
             )
         )
         self.vio_pose = odom7
@@ -666,6 +795,10 @@ class SlamEngine:
         batch, self.keyframe_queue = self.keyframe_queue[:n], self.keyframe_queue[n:]
 
         self._ensure_capacity(batch)
+
+        n_opt = max(1, self.cfg.solver.optimize_every_n_ticks)
+        do_opt = np.bool_(self._ticks_done % n_opt == 0)
+        self._ticks_done += 1
 
         t0 = time.perf_counter()
         if self.cfg.use_plane_landmarks:
@@ -701,6 +834,9 @@ class SlamEngine:
                 max_iterations=self.cfg.solver.max_iterations,
                 min_edges=self.cfg.solver.min_edges_to_optimize,
                 rel_tol=self.cfg.solver.rel_decrease_tol,
+                linear_solver=self.cfg.solver.linear_solver,
+                pcg_iters=self.cfg.solver.pcg_iters,
+                do_opt=do_opt,
             )
         elif len(batch) == 1:
             # common case: the whole tick (keyframe + frontend + association
@@ -715,7 +851,7 @@ class SlamEngine:
                     self.graph, self.table, self.marginals, dets, info
                 ) = _tick_fused_detect(
                     self.graph, self.table, self.marginals, *args,
-                    **statics, **self._opt_statics(),
+                    do_opt=do_opt, **statics, **self._opt_statics(),
                 )
                 self.last_detected_objects = dets
             else:
@@ -725,6 +861,7 @@ class SlamEngine:
                     np.asarray(prev_odom, self._npdt),
                     has_prev,
                     self._info6,
+                    do_opt=do_opt,
                     **self._opt_statics(),
                 )
             kf.node_idx = self._n_poses
@@ -733,24 +870,63 @@ class SlamEngine:
                 self._n_odom += 1
             self.keyframes.append(kf)
         else:
-            for kf in batch:
-                has_prev = len(self.keyframes) > 0
-                prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
+            i = 0
+            while i < len(batch):
+                kf = batch[i]
                 if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
+                    has_prev = len(self.keyframes) > 0
+                    prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
                     self._process_keyframe_with_detections(kf, prev_odom, has_prev)
-                else:
+                    kf.node_idx = self._n_poses
+                    self._n_poses += 1
+                    if has_prev:
+                        self._n_odom += 1
+                    self.keyframes.append(kf)
+                    i += 1
+                    continue
+                # contiguous run of detection-less keyframes -> ONE program
+                j = i
+                while j < len(batch) and not (
+                    batch[j].boxes is not None
+                    and batch[j].cloud is not None
+                    and len(batch[j].boxes) > 0
+                ):
+                    j += 1
+                run = batch[i:j]
+                has_prev = len(self.keyframes) > 0
+                prev_odom = self.keyframes[-1].odom if has_prev else run[0].odom
+                if len(run) == 1:
                     self.graph, _ = _ingest_keyframe(
                         self.graph,
-                        kf.odom.astype(self._npdt),
+                        run[0].odom.astype(self._npdt),
                         np.asarray(prev_odom, self._npdt),
                         has_prev,
                         self._info6,
                     )
-                kf.node_idx = self._n_poses
-                self._n_poses += 1
-                if has_prev:
-                    self._n_odom += 1
-                self.keyframes.append(kf)
+                else:
+                    B = 2
+                    while B < len(run):
+                        B *= 2
+                    odoms = np.tile(run[-1].odom.astype(self._npdt), (B, 1))
+                    for b, r in enumerate(run):
+                        odoms[b] = r.odom.astype(self._npdt)
+                    valid = np.zeros((B,), bool)
+                    valid[: len(run)] = True
+                    self.graph = _ingest_keyframes_batch(
+                        self.graph,
+                        odoms,
+                        valid,
+                        np.asarray(prev_odom, self._npdt),
+                        has_prev,
+                        self._info6,
+                    )
+                for b, r in enumerate(run):
+                    r.node_idx = self._n_poses
+                    self._n_poses += 1
+                    if has_prev or b > 0:
+                        self._n_odom += 1
+                    self.keyframes.append(r)
+                i = j
 
             last_idx = self.keyframes[-1].node_idx
             self.graph, self.table, self.marginals, info = _optimize_tick(
@@ -758,6 +934,7 @@ class SlamEngine:
                 self.table,
                 self.marginals,
                 np.int32(last_idx),
+                do_opt=do_opt,
                 **self._opt_statics(),
             )
         info = np.asarray(info, np.float64)  # the single device->host fetch
@@ -800,6 +977,52 @@ class SlamEngine:
         self.first_key_added = True
         return True
 
+    def finalize(self) -> bool:
+        """Force one optimize pass over the current graph — use at session end
+        when ``optimize_every_n_ticks > 1`` may have skipped the last tick(s).
+        No-op on an empty graph."""
+        if not self.keyframes:
+            return False
+        t0 = time.perf_counter()
+        last_idx = np.int32(self.keyframes[-1].node_idx)
+        if self.cfg.use_plane_landmarks:
+            self.graph, self.table, self.plane_nodes, info = _optimize_tick_planes(
+                self.graph, self.table, self.plane_nodes, last_idx,
+                max_iterations=self.cfg.solver.max_iterations,
+                min_edges=self.cfg.solver.min_edges_to_optimize,
+                rel_tol=self.cfg.solver.rel_decrease_tol,
+                linear_solver=self.cfg.solver.linear_solver,
+                pcg_iters=self.cfg.solver.pcg_iters,
+                do_opt=np.bool_(True),
+            )
+        else:
+            self.graph, self.table, self.marginals, info = _optimize_tick(
+                self.graph, self.table, self.marginals, last_idx,
+                do_opt=np.bool_(True), **self._opt_statics(),
+            )
+        info = np.asarray(info, np.float64)
+        iters = int(info[0])
+        self._n_poses = int(info[4])
+        self._n_landmarks = int(info[5])
+        self._n_odom = int(info[6])
+        self._n_lme = int(info[7])
+        if iters > 0:
+            est = info[8:15]
+            self.robot_pose = est.copy()
+            self.map2odom = _np_pose_mul(est, _np_pose_inv(self.keyframes[-1].odom))
+        self.stats_history.append(
+            {
+                "iterations": iters,
+                "chi2_initial": float(info[1]),
+                "chi2_final": float(info[2]),
+                "solve_seconds": time.perf_counter() - t0,
+                "num_poses": self._n_poses,
+                "num_landmarks": self._n_landmarks,
+                "num_edges": self._n_odom + self._n_lme,
+            }
+        )
+        return iters > 0
+
     # ------------------------------------------------------------------
 
     def _kf_call_args(self, kf: KeyframeMeta, prev_odom, has_prev):
@@ -819,13 +1042,26 @@ class SlamEngine:
         robot_xyzrpy = npg.pose_to_xyzrpy(kf.robot_pose)
         points, valid = kf.cloud
         npdt = self._npdt
+        depth_input = kf.depth_intr is not None
+        if depth_input:
+            points_arg = np.asarray(points, np.uint16)
+            valid_arg = np.ones((1, 1), bool)  # ignored; derived from depth>0
+            cam_intr = kf.depth_intr.astype(npdt)
+            depth_scale = npdt(kf.depth_scale)
+        else:
+            points_arg = np.asarray(points, npdt)
+            valid_arg = np.asarray(valid, bool)
+            cam_intr = np.ones((4,), npdt)
+            depth_scale = npdt(1.0)
         args = (
             kf.odom.astype(npdt),
             np.asarray(prev_odom, npdt),
             has_prev,
             self._info6,
-            np.asarray(points, npdt),
-            np.asarray(valid, bool),
+            points_arg,
+            valid_arg,
+            cam_intr,
+            depth_scale,
             boxes.astype(npdt),
             cids,
             probs.astype(npdt),
@@ -847,6 +1083,7 @@ class SlamEngine:
             smoothing_size=seg.normal_smoothing_size,
             strict_frames=cfg.strict_reference_frames,
             use_rtabmap_offset=a.use_rtab_map_odom,
+            depth_input=depth_input,
         )
         return args, statics
 

@@ -289,7 +289,13 @@ def run_lm_loop(
 ):
     """The damped LM iteration over node variables only (edges are fixed
     during optimization, so they live inside the two closures — locally or
-    sharded+psum'd)."""
+    sharded+psum'd).
+
+    The current linearization rides in the loop carry and is only rebuilt
+    after an ACCEPTED step (rejected steps retry the same linear system with
+    a larger lambda — exactly what g2o's LM does), so a rejected iteration
+    costs one solve + one chi2 instead of a full relinearization.
+    """
     lin0 = linearize_fn(poses, landmarks)
     chi2_0 = lin0.chi2
     dtype = poses.dtype
@@ -301,12 +307,11 @@ def run_lm_loop(
     lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
 
     def cond(carry):
-        _, _, _, _, it, done = carry
+        _, _, _, _, _, it, done = carry
         return (it < max_iterations) & jnp.logical_not(done)
 
     def body(carry):
-        p, l, lam, nu, it, done = carry
-        lin = linearize_fn(p, l)
+        p, l, lin, lam, nu, it, done = carry
         dp, dl = schur_solve(lin, pose_free, lm_free, lam)
         p_new, l_new = retract(p, l, dp, dl)
         chi2_new = chi2_fn(p_new, l_new)
@@ -329,17 +334,24 @@ def run_lm_loop(
             (lin.chi2 - chi2_new) <= rel_tol * jnp.maximum(lin.chi2, 1e-12)
         )
         done = converged | (lam > 1e12)
-        return p, l, lam, nu, it + 1, done
+        # relinearize only when the step was taken (and the loop continues)
+        lin = jax.lax.cond(
+            accept & jnp.logical_not(done),
+            lambda: linearize_fn(p, l),
+            lambda: lin,
+        )
+        return p, l, lin, lam, nu, it + 1, done
 
     init = (
         poses,
         landmarks,
+        lin0,
         lam0,
         jnp.asarray(2.0, dtype),
         jnp.zeros((), jnp.int32),
         jnp.zeros((), bool),
     )
-    p, l, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    p, l, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
     chi2_f = chi2_fn(p, l)
     return p, l, LMStats(it, chi2_0, chi2_f, lam)
 

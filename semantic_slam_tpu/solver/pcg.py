@@ -221,6 +221,42 @@ def pcg_solve(
     return x
 
 
+def schur_pcg_step(
+    eb: EdgeBlocks,
+    lam,
+    pose_free,
+    block_free,
+    allreduce: Callable,
+    max_cg_iters: int,
+):
+    """One damped Schur-eliminated solve on (possibly plane-extended) edge
+    blocks: returns (dp [K,6], db [B,3]) where B = number of 3-dof landmark
+    blocks (points, or points+planes)."""
+    dtype = eb.gp.dtype
+    pf = pose_free.astype(dtype)
+    lmf = block_free.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    A = eb.Hll + lam * eye3[None]
+    A = A * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
+    Ainv = inv33(A)
+    gl = eb.gl * lmf[:, None]
+    # b = -(gp - W A^-1 gl)
+    y = jnp.einsum("lij,lj->li", Ainv, gl)
+    c_loc = jnp.zeros_like(eb.gp).at[eb.lk].add(
+        jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll])
+    )
+    b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
+    dp = pcg_solve(eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters)
+    # back-substitute: db = Ainv(-gl - W^T dp)
+    t_loc = jnp.zeros_like(gl).at[eb.ll].add(
+        jnp.einsum("eij,ei->ej", eb.W_kl, (dp * pf[:, None])[eb.lk])
+    )
+    t = allreduce(t_loc)
+    db = jnp.einsum("lij,lj->li", Ainv, (-gl - t)) * lmf[:, None]
+    return dp, db
+
+
 def run_lm_loop_pcg(
     poses,
     landmarks,
@@ -237,9 +273,6 @@ def run_lm_loop_pcg(
 ):
     """Nielsen-damped LM with the matrix-free PCG inner solver."""
     dtype = poses.dtype
-    pf = pose_free.astype(dtype)
-    lmf = lm_free.astype(dtype)
-    eye3 = jnp.eye(3, dtype=dtype)
 
     def chi2_fn(p, l):
         return allreduce(
@@ -260,32 +293,14 @@ def run_lm_loop_pcg(
     lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
 
     def solve(eb, lam):
-        A = eb.Hll + lam * eye3[None]
-        A = A * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
-        Ainv = inv33(A)
-        gl = eb.gl * lmf[:, None]
-        # b = -(gp - W A^-1 gl)
-        y = jnp.einsum("lij,lj->li", Ainv, gl)
-        c_loc = jnp.zeros_like(eb.gp).at[eb.lk].add(
-            jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll])
-        )
-        b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
-        dp = pcg_solve(eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters)
-        # back-substitute: dl = Ainv(-gl - W^T dp)
-        t_loc = jnp.zeros_like(gl).at[eb.ll].add(
-            jnp.einsum("eij,ei->ej", eb.W_kl, (dp * pf[:, None])[eb.lk])
-        )
-        t = allreduce(t_loc)
-        dl = jnp.einsum("lij,lj->li", Ainv, (-gl - t)) * lmf[:, None]
-        return dp, dl
+        return schur_pcg_step(eb, lam, pose_free, lm_free, allreduce, max_cg_iters)
 
     def cond(carry):
-        _, _, _, _, it, done = carry
+        _, _, _, _, _, it, done = carry
         return (it < max_iterations) & jnp.logical_not(done)
 
     def body(carry):
-        p, l, lam, nu, it, done = carry
-        eb = build(p, l)
+        p, l, eb, lam, nu, it, done = carry
         dp, dl = solve(eb, lam)
         p_new = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
         l_new = l + dl.astype(l.dtype)
@@ -307,10 +322,14 @@ def run_lm_loop_pcg(
             (eb.chi2 - chi2_new) <= rel_tol * jnp.maximum(eb.chi2, 1e-12)
         )
         done = converged | (lam > 1e12)
-        return p, l, lam, nu, it + 1, done
+        # rejected steps retry the SAME edge blocks with a larger lambda
+        eb = jax.lax.cond(
+            accept & jnp.logical_not(done), lambda: build(p, l), lambda: eb
+        )
+        return p, l, eb, lam, nu, it + 1, done
 
-    init = (poses, landmarks, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    p, l, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    init = (poses, landmarks, eb0, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    p, l, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
     return p, l, LMStats(it, chi2_0, chi2_fn(p, l), lam)
 
 
@@ -364,6 +383,269 @@ def lm_optimize_pcg(
         lambda_final=stats.lambda_final,
     )
     return g, stats
+
+
+# ---------------------------------------------------------------------------
+# Plane-extended matrix-free path (planar-patch mode on the scaling solver)
+# ---------------------------------------------------------------------------
+
+
+def build_edge_blocks_with_planes(
+    poses,
+    landmarks,
+    planes,
+    edge_args: tuple,
+    plane_args: tuple,
+    allreduce: Callable,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+) -> EdgeBlocks:
+    """Point edge blocks + SE3-plane edge blocks merged into ONE landmark
+    block system: plane blocks are 3-dof (2 normal-tangent + offset) exactly
+    like point blocks, so they append at indices ``L..L+Pl`` and the reduced
+    camera operator/preconditioner are reused untouched (the matrix-free
+    analog of ``graph/planes.linearize_with_planes``)."""
+    from semantic_slam_tpu.graph.planes import _plane_edge_jac
+
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    Pl = planes.shape[0]
+    dtype = poses.dtype
+
+    eb = build_edge_blocks(
+        poses, landmarks, *edge_args, allreduce,
+        robust_kind=robust_kind, robust_delta=robust_delta,
+    )
+
+    pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
+    pm = pe_mask.astype(dtype)
+    p_info = pe_info * pm[:, None, None]
+    r_p, Jk, Jp = jax.vmap(_plane_edge_jac)(poses[pe_k], planes[pe_p], pe_meas)
+    JkT_O = jnp.einsum("eai,eab->eib", Jk, p_info)
+    JpT_O = jnp.einsum("eai,eab->eib", Jp, p_info)
+    H_kk = jnp.einsum("eia,eaj->eij", JkT_O, Jk)
+    W_kp = jnp.einsum("eia,eaj->eij", JkT_O, Jp)
+    H_pp = jnp.einsum("eia,eaj->eij", JpT_O, Jp)
+    g_k = jnp.einsum("eia,ea->ei", JkT_O, r_p)
+    g_p = jnp.einsum("eia,ea->ei", JpT_O, r_p)
+    chi_p = jnp.einsum("ea,eab,eb->", r_p, p_info, r_p)
+
+    Hll_p = jnp.zeros((Pl, 3, 3), dtype).at[pe_p].add(H_pp)
+    gl_p = jnp.zeros((Pl, 3), dtype).at[pe_p].add(g_p)
+    gp_add = jnp.zeros((K, 6), dtype).at[pe_k].add(g_k)
+    diag_add = jnp.zeros((K, 6, 6), dtype).at[pe_k].add(H_kk)
+
+    return EdgeBlocks(
+        oi=eb.oi,
+        oj=eb.oj,
+        H_ii=eb.H_ii,
+        H_ij=eb.H_ij,
+        H_jj=eb.H_jj,
+        lk=jnp.concatenate([eb.lk, pe_k]),
+        ll=jnp.concatenate([eb.ll, pe_p + L]),
+        H_kk=jnp.concatenate([eb.H_kk, H_kk]),
+        W_kl=jnp.concatenate([eb.W_kl, W_kp]),
+        Hll=jnp.concatenate([eb.Hll, allreduce(Hll_p)]),
+        gp=eb.gp + allreduce(gp_add),
+        gl=jnp.concatenate([eb.gl, allreduce(gl_p)]),
+        diag=eb.diag + allreduce(diag_add),
+        chi2=eb.chi2 + allreduce(chi_p),
+    )
+
+
+def run_lm_loop_pcg_planes(
+    poses,
+    landmarks,
+    planes,
+    edge_args: tuple,
+    plane_args: tuple,
+    pose_free,
+    lm_free,
+    plane_free,
+    allreduce: Callable,
+    max_iterations: int,
+    rel_tol: float,
+    max_cg_iters: int = 128,
+    init_lambda_tau: float = 1e-5,
+):
+    """Nielsen-damped LM over poses + point landmarks + plane landmarks with
+    the matrix-free PCG inner solver (scaling-path analog of
+    ``graph/planes.lm_optimize_with_planes``)."""
+    from semantic_slam_tpu.graph import residuals as gres
+    from semantic_slam_tpu.solver.plane_ba import plane_retract
+
+    dtype = poses.dtype
+    L = landmarks.shape[0]
+    block_free = jnp.concatenate([lm_free, plane_free])
+    pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
+
+    def chi2_fn(p, l, pl):
+        base = chi2_arrays(p, l, *edge_args)
+        r_p = jax.vmap(gres.se3_plane_residual)(p[pe_k], pl[pe_p], pe_meas)
+        chi_p = jnp.einsum("ei,eij,ej->e", r_p, pe_info, r_p)
+        return allreduce(base + jnp.sum(chi_p * pe_mask.astype(dtype)))
+
+    def build(p, l, pl):
+        return build_edge_blocks_with_planes(
+            p, l, pl, edge_args, plane_args, allreduce
+        )
+
+    eb0 = build(poses, landmarks, planes)
+    chi2_0 = eb0.chi2
+    diag_max = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(eb0.diag, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(eb0.Hll, axis1=-2, axis2=-1))),
+    )
+    lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
+
+    def retract_all(p, l, pl, dp, db):
+        p2 = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
+        l2 = l + db[:L].astype(l.dtype)
+        pl2 = jax.vmap(plane_retract)(pl, db[L:].astype(pl.dtype))
+        return p2, l2, pl2
+
+    def cond(carry):
+        _, _, _, _, _, _, it, done = carry
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(carry):
+        p, l, pl, eb, lam, nu, it, done = carry
+        dp, db = schur_pcg_step(eb, lam, pose_free, block_free, allreduce, max_cg_iters)
+        p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
+        chi2_new = chi2_fn(p_new, l_new, pl_new)
+
+        delta = jnp.concatenate([dp.reshape(-1), db.reshape(-1)])
+        gvec = jnp.concatenate([eb.gp.reshape(-1), eb.gl.reshape(-1)])
+        pred = lam * jnp.dot(delta, delta) - jnp.dot(delta, gvec)
+        rho = (eb.chi2 - chi2_new) / jnp.maximum(pred, 1e-12)
+        finite = jnp.isfinite(chi2_new) & jnp.all(jnp.isfinite(delta))
+        accept = (rho > 0) & finite
+
+        p = jnp.where(accept, p_new, p)
+        l = jnp.where(accept, l_new, l)
+        pl = jnp.where(accept, pl_new, pl)
+        lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, lam_acc, lam * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        converged = accept & (
+            (eb.chi2 - chi2_new) <= rel_tol * jnp.maximum(eb.chi2, 1e-12)
+        )
+        done = converged | (lam > 1e12)
+        eb = jax.lax.cond(
+            accept & jnp.logical_not(done), lambda: build(p, l, pl), lambda: eb
+        )
+        return p, l, pl, eb, lam, nu, it + 1, done
+
+    init = (
+        poses, landmarks, planes, eb0, lam0,
+        jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    )
+    p, l, pl, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return p, l, pl, LMStats(it, chi2_0, chi2_fn(p, l, pl), lam)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "min_edges", "rel_tol", "max_cg_iters"),
+)
+def lm_optimize_pcg_planes(
+    g: GraphState,
+    pn,
+    max_iterations: int = 64,
+    min_edges: int = 10,
+    rel_tol: float = 1e-6,
+    max_cg_iters: int = 128,
+):
+    """Single-chip matrix-free planar-patch LM (drop-in for
+    ``graph/planes.lm_optimize_with_planes`` on the scaling path)."""
+    pose_free, lm_free = _free_masks(g)
+    plane_args = (pn.pe_k, pn.pe_p, pn.pe_meas, pn.pe_info, pn.pe_mask())
+    poses, landmarks, planes, stats = run_lm_loop_pcg_planes(
+        g.poses, g.landmarks, pn.planes, _edge_args(g), plane_args,
+        pose_free, lm_free, pn.plane_mask(), lambda x: x,
+        max_iterations, rel_tol, max_cg_iters,
+    )
+    run = (g.num_edges() + pn.num_pe) >= min_edges
+    g = g._replace(
+        poses=jnp.where(run, poses, g.poses),
+        landmarks=jnp.where(run, landmarks, g.landmarks),
+    )
+    pn = pn._replace(planes=jnp.where(run, planes, pn.planes))
+    stats = LMStats(
+        iterations=jnp.where(run, stats.iterations, 0),
+        chi2_initial=stats.chi2_initial,
+        chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
+        lambda_final=stats.lambda_final,
+    )
+    return g, pn, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "max_iterations", "min_edges", "rel_tol", "max_cg_iters"),
+)
+def sharded_lm_optimize_pcg_planes(
+    g: GraphState,
+    pn,
+    mesh,
+    axis_name: str = "shard",
+    max_iterations: int = 64,
+    min_edges: int = 10,
+    rel_tol: float = 1e-6,
+    max_cg_iters: int = 128,
+):
+    """Edge-sharded planar-patch LM: odometry, point-observation AND plane
+    edges all sharded over the mesh; node arrays replicated; psum traffic per
+    CG step is [6K] + [3(L+Pl)]."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    assert (
+        g.odom_i.shape[0] % n == 0
+        and g.lme_k.shape[0] % n == 0
+        and pn.pe_k.shape[0] % n == 0
+    )
+
+    pose_free, lm_free = _free_masks(g)
+    edge_args = _edge_args(g)
+    plane_args = (pn.pe_k, pn.pe_p, pn.pe_meas, pn.pe_info, pn.pe_mask())
+
+    def body(poses, landmarks, planes, pose_free, lm_free, plane_free, edges, pargs):
+        return run_lm_loop_pcg_planes(
+            poses, landmarks, planes, edges, pargs, pose_free, lm_free,
+            plane_free, lambda x: jax.lax.psum(x, axis_name),
+            max_iterations, rel_tol, max_cg_iters,
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(),
+            tuple(P(axis_name) for _ in edge_args),
+            tuple(P(axis_name) for _ in plane_args),
+        ),
+        out_specs=(P(), P(), P(), LMStats(P(), P(), P(), P())),
+        check_vma=False,
+    )
+    poses, landmarks, planes, stats = sharded(
+        g.poses, g.landmarks, pn.planes, pose_free, lm_free, pn.plane_mask(),
+        edge_args, plane_args,
+    )
+
+    run = (g.num_edges() + pn.num_pe) >= min_edges
+    g = g._replace(
+        poses=jnp.where(run, poses, g.poses),
+        landmarks=jnp.where(run, landmarks, g.landmarks),
+    )
+    pn = pn._replace(planes=jnp.where(run, planes, pn.planes))
+    stats = LMStats(
+        iterations=jnp.where(run, stats.iterations, 0),
+        chi2_initial=stats.chi2_initial,
+        chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
+        lambda_final=stats.lambda_final,
+    )
+    return g, pn, stats
 
 
 @partial(

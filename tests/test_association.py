@@ -153,3 +153,86 @@ class TestSync:
         # inactive rows untouched
         np.testing.assert_allclose(np.asarray(t2.world[1]), np.asarray(table.world[1]))
         np.testing.assert_allclose(np.asarray(t2.cov[0]), np.eye(3) * 0.25)
+
+
+class TestPlaneGate:
+    """Optional plane-aware gating: normals must agree in angle and offset."""
+
+    def _dets_with_normal(self, poses_cam, normals_cam):
+        m = len(poses_cam)
+        return DetectedObjects(
+            valid=jnp.asarray([True] * m),
+            class_id=jnp.zeros((m,), jnp.int32),
+            prob=jnp.ones((m,), jnp.float64),
+            plane_type=jnp.zeros((m,), jnp.int32),
+            num_points=jnp.full((m,), 500.0, jnp.float64),
+            pose_cam=jnp.asarray(poses_cam, jnp.float64),
+            normal_cam=jnp.asarray(normals_cam, jnp.float64),
+            world_pose=jnp.zeros((m, 3), jnp.float64),
+        )
+
+    def _run(self, table, dets, use_gate, cos_thres=0.866, off_thres=0.5):
+        return assoc.associate(
+            table,
+            dets,
+            jnp.zeros(6, jnp.float64),
+            jnp.asarray(0.0, jnp.float64),
+            jnp.asarray(False),
+            jnp.asarray(1.5, jnp.float64),
+            jnp.asarray(1.5, jnp.float64),
+            jnp.asarray(0.4, jnp.float64),
+            use_plane_gate=jnp.asarray(use_gate),
+            plane_cos_thres=jnp.asarray(cos_thres, jnp.float64),
+            plane_offset_thres=jnp.asarray(off_thres, jnp.float64),
+        )
+
+    def test_gate_off_matches_centroid_only(self):
+        table = assoc.make_table(8, jnp.float64)
+        # seed landmark with normal along -z (cam)
+        d0 = self._dets_with_normal([[0, 0, 2.0]], [[0, 0, -1, 1.0]])
+        table, _ = self._run(table, d0, use_gate=False)
+        # same centroid, orthogonal normal: centroid-only matches
+        d1 = self._dets_with_normal([[0.1, 0, 2.0]], [[1, 0, 0, 1.0]])
+        t_off, r_off = self._run(table, d1, use_gate=False)
+        assert not bool(r_off.is_new[0])
+        assert int(t_off.count) == 1
+
+    def test_gate_on_rejects_orthogonal_normal(self):
+        table = assoc.make_table(8, jnp.float64)
+        d0 = self._dets_with_normal([[0, 0, 2.0]], [[0, 0, -1, 1.0]])
+        table, _ = self._run(table, d0, use_gate=True)
+        d1 = self._dets_with_normal([[0.1, 0, 2.0]], [[1, 0, 0, 1.0]])
+        t_on, r_on = self._run(table, d1, use_gate=True)
+        assert bool(r_on.is_new[0])  # orthogonal plane -> new landmark
+        assert int(t_on.count) == 2
+
+    def test_gate_accepts_same_plane(self):
+        table = assoc.make_table(8, jnp.float64)
+        d0 = self._dets_with_normal([[0, 0, 2.0]], [[0, 0, -1, 1.0]])
+        table, _ = self._run(table, d0, use_gate=True)
+        d1 = self._dets_with_normal([[0.1, 0, 2.0]], [[0, 0, -1, 1.0]])
+        t_on, r_on = self._run(table, d1, use_gate=True)
+        assert not bool(r_on.is_new[0])
+        assert int(t_on.count) == 1
+
+    def test_gate_sign_invariance(self):
+        """(n, d) and (-n, -d) describe the same plane -> must match."""
+        table = assoc.make_table(8, jnp.float64)
+        d0 = self._dets_with_normal([[0, 0, 2.0]], [[0, 0, -1, 1.0]])
+        table, _ = self._run(table, d0, use_gate=True)
+        d1 = self._dets_with_normal([[0.1, 0, 2.0]], [[0, 0, 1, -1.0]])
+        t_on, r_on = self._run(table, d1, use_gate=True)
+        assert not bool(r_on.is_new[0])
+
+    def test_gate_rejects_offset_mismatch_parallel_planes(self):
+        """Two parallel planes ~1.2 m apart along the normal, centroids within
+        the (loose) euclidean threshold -> gate splits them."""
+        table = assoc.make_table(8, jnp.float64)
+        d0 = self._dets_with_normal([[0, 0, 2.0]], [[0, 0, -1, 1.0]])
+        table, _ = self._run(table, d0, use_gate=True, off_thres=0.5)
+        # same normal, centroid shifted 1.2 m along the plane normal (world x)
+        d1 = self._dets_with_normal([[0, 0, 3.2]], [[0, 0, -1, 1.0]])
+        _, r_loose = self._run(table, d1, use_gate=False)
+        t_on, r_on = self._run(table, d1, use_gate=True, off_thres=0.5)
+        assert not bool(r_loose.is_new[0])  # centroid-only would merge (eq=1.5)
+        assert bool(r_on.is_new[0])

@@ -183,3 +183,57 @@ class TestPlaneCheckpoint:
             np.asarray(eng2.plane_nodes.planes), np.asarray(eng.plane_nodes.planes)
         )
         assert int(eng2.plane_nodes.num_pe) == int(eng.plane_nodes.num_pe)
+
+
+class TestFreeSpaceCarving:
+    def test_ray_carves_intermediate_voxels(self):
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.mapping import voxel as vox
+
+        grid = vox.make_grid((20, 4, 4), origin=(0, 0, 0), resolution=0.5)
+        origin = jnp.asarray([0.25, 0.25, 0.25], jnp.float64)
+        end = jnp.asarray([[9.25, 0.25, 0.25]], jnp.float64)  # x voxel 18
+        grid = vox.insert_world_points(grid, end, jnp.asarray([True]))
+        grid = vox.carve_free_space(grid, origin, end, jnp.asarray([True]), samples=64)
+        misses = np.asarray(grid.misses)
+        hits = np.asarray(grid.hits)
+        assert hits[18, 0, 0] == 1
+        assert misses[18, 0, 0] == 0  # endpoint voxel never carved
+        # every voxel strictly between origin and endpoint along x is free
+        assert (misses[0:18, 0, 0] > 0).all()
+        assert misses[:, 1:, :].sum() == 0 and misses[:, :, 1:].sum() == 0
+
+    def test_log_odds_decay(self):
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.mapping import voxel as vox
+
+        grid = vox.make_grid((20, 4, 4), origin=(0, 0, 0), resolution=0.5)
+        origin = jnp.asarray([0.25, 0.25, 0.25], jnp.float64)
+        mid = jnp.asarray([[4.25, 0.25, 0.25]], jnp.float64)  # voxel 8
+        far = jnp.asarray([[9.25, 0.25, 0.25]], jnp.float64)
+        # one endpoint hit at voxel 8 ...
+        grid = vox.insert_world_points(grid, mid, jnp.asarray([True]))
+        # ... then many beams pass straight through it
+        for _ in range(4):
+            grid = vox.carve_free_space(grid, origin, far, jnp.asarray([True]), samples=64)
+        occ = np.asarray(vox.occupied_mask_probabilistic(grid))
+        assert not occ[8, 0, 0]  # decayed back to free
+        # count-based mask (octomap-less mode) still sees the single hit
+        assert np.asarray(vox.occupied_mask(grid, min_hits=1))[8, 0, 0]
+
+    def test_fused_keyframe_carving(self):
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.mapping import voxel as vox
+
+        grid = vox.make_grid((64, 64, 32), origin=(-1.6, -1.6, -0.8), resolution=0.1)
+        pts_cam = jnp.asarray([[[0.0, 0.0, 1.5]]], jnp.float64)  # 1 px cloud
+        valid = jnp.asarray([[True]])
+        pose = jnp.zeros(6, jnp.float64)
+        grid = vox.insert_keyframe_cloud_carving(
+            grid, pts_cam, valid, pose, jnp.float64(0.0), samples=32
+        )
+        assert int(np.asarray(grid.hits).sum()) == 1
+        assert int(np.asarray(grid.misses).sum()) > 5

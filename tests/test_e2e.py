@@ -269,3 +269,35 @@ class TestPlanarPatchMode:
                 np.testing.assert_allclose(nrm, 1.0, atol=1e-6)
         assert ates[True] <= ates[False] * 1.1
         assert ates[True] < 0.35
+
+
+class TestOptimizeEveryN:
+    def test_periodic_optimize_with_finalize(self):
+        """optimize_every_n_ticks=3 skips 2 of 3 LM solves; finalize() forces
+        a last pass so the end trajectory stays comparable to every-tick."""
+        log = synth_mod.make_synthetic_log(
+            seed=3, n_steps=360, sensor_every=5, drift_noise=0.008, loops=2.0
+        )
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+
+        import dataclasses
+
+        cfg = e2e_config()
+        cfg_n3 = cfg.replace(
+            solver=dataclasses.replace(cfg.solver, optimize_every_n_ticks=3)
+        )
+        eng = SlamEngine(cfg_n3)
+        replay_mod.replay(log, eng)
+        eng.finalize()
+
+        ran = [s["iterations"] > 0 for s in eng.stats_history]
+        n_ticks = len(eng.stats_history)
+        # strictly fewer solves than ticks, but still some
+        assert 0 < sum(ran) < n_ticks
+        assert ran[-1]  # finalize forced the last one
+
+        kf_t = np.array([k.stamp for k in eng.keyframes])
+        kf_xyz = eng.get_keyframe_poses()[:, :3]
+        ate_n3 = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
+        assert ate_n3 < 0.35  # same bound the every-tick test enforces

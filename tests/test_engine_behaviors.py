@@ -135,3 +135,71 @@ class TestLatestWins:
         eng.vio_callback(5.0, pose_x(1.0))
         # flag consumed: second keyframe has no detections
         assert eng.keyframe_queue[-1].boxes is None
+
+
+class TestBatchedKeyframeIngest:
+    def test_batch_matches_sequential(self):
+        """_ingest_keyframes_batch (one program per run) produces the exact
+        same graph as B sequential _ingest_keyframe calls."""
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.core import geometry as geo
+        from semantic_slam_tpu.graph import state as gs
+        from semantic_slam_tpu.runtime.engine import (
+            _ingest_keyframe,
+            _ingest_keyframes_batch,
+        )
+
+        rng = np.random.default_rng(3)
+        info6 = jnp.eye(6, dtype=jnp.float64) * 10.0
+        odoms = [np.array([0, 0, 0, 1, 0, 0, 0], np.float64)]
+        for _ in range(5):
+            xi = jnp.asarray(rng.normal(size=6) * 0.3, jnp.float64)
+            odoms.append(np.asarray(geo.pose_retract(jnp.asarray(odoms[-1]), xi)))
+
+        # sequential: first keyframe has no prev
+        g_seq = gs.make_graph(16, 8, 16, 16, dtype=jnp.float64)
+        prev = odoms[0]
+        for k, o in enumerate(odoms):
+            g_seq, _ = _ingest_keyframe(g_seq, o, prev, k > 0, info6)
+            prev = o
+
+        # batched with padding: empty-graph start, has_prev=False
+        B = 8
+        od = np.tile(odoms[-1], (B, 1))
+        for b, o in enumerate(odoms):
+            od[b] = o
+        valid = np.zeros((B,), bool)
+        valid[: len(odoms)] = True
+        g_b = gs.make_graph(16, 8, 16, 16, dtype=jnp.float64)
+        g_b = _ingest_keyframes_batch(g_b, od, valid, odoms[0], False, info6)
+
+        assert int(g_b.num_poses) == int(g_seq.num_poses) == len(odoms)
+        assert int(g_b.num_odom) == int(g_seq.num_odom) == len(odoms) - 1
+        np.testing.assert_allclose(np.asarray(g_b.poses), np.asarray(g_seq.poses))
+        np.testing.assert_allclose(np.asarray(g_b.odom_meas), np.asarray(g_seq.odom_meas), atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(g_b.odom_i), np.asarray(g_seq.odom_i))
+        np.testing.assert_array_equal(np.asarray(g_b.odom_j), np.asarray(g_seq.odom_j))
+
+    def test_batch_continues_existing_graph(self):
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.graph import state as gs
+        from semantic_slam_tpu.runtime.engine import (
+            _ingest_keyframe,
+            _ingest_keyframes_batch,
+        )
+
+        info6 = jnp.eye(6, dtype=jnp.float64)
+        p0 = np.array([0, 0, 0, 1, 0, 0, 0], np.float64)
+        p1 = np.array([1, 0, 0, 1, 0, 0, 0], np.float64)
+        p2 = np.array([2, 0, 0, 1, 0, 0, 0], np.float64)
+
+        g = gs.make_graph(16, 8, 16, 16, dtype=jnp.float64)
+        g, _ = _ingest_keyframe(g, p0, p0, False, info6)
+        od = np.stack([p1, p2])
+        g = _ingest_keyframes_batch(g, od, np.array([True, True]), p0, True, info6)
+        assert int(g.num_poses) == 3
+        assert int(g.num_odom) == 2
+        np.testing.assert_array_equal(np.asarray(g.odom_i[:2]), [0, 1])
+        np.testing.assert_array_equal(np.asarray(g.odom_j[:2]), [1, 2])

@@ -74,3 +74,51 @@ class TestJointOptimization:
         g_j, pn_j, _ = gp.lm_optimize_with_planes(g, pn)
         nrm = np.linalg.norm(np.asarray(pn_j.planes[:, :3]), axis=1)
         np.testing.assert_allclose(nrm, 1.0, atol=1e-9)
+
+
+class TestPCGPlanesPath:
+    def test_pcg_planes_matches_dense_planes(self, rng):
+        """Matrix-free planar-patch LM converges to the dense path's optimum."""
+        from semantic_slam_tpu.solver import pcg as pcg_mod
+
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.05)
+        planes = [[1.0, 0.0, 0.0, -6.0], [0.0, 0.0, 1.0, 1.5]]
+        pn = with_plane_observations(rng, g, gt_poses, planes, noise=0.005)
+        pn = pn._replace(planes=pn.planes.at[0, 3].add(0.2).at[1, 3].add(-0.15))
+
+        g_d, pn_d, s_d = gp.lm_optimize_with_planes(g, pn)
+        g_p, pn_p, s_p = pcg_mod.lm_optimize_pcg_planes(g, pn, max_cg_iters=256)
+        assert float(s_p.chi2_final) < float(s_p.chi2_initial) * 0.1
+        np.testing.assert_allclose(
+            float(s_p.chi2_final), float(s_d.chi2_final), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_p.poses[:6, :3]), np.asarray(g_d.poses[:6, :3]), atol=1e-3
+        )
+
+    def test_pcg_planes_empty_matches_point_pcg(self, rng):
+        from semantic_slam_tpu.solver import pcg as pcg_mod
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        pn = gp.make_planes(8, 64, dtype=jnp.float64)
+        g1, s1 = pcg_mod.lm_optimize_pcg(g)
+        g2, _, s2 = pcg_mod.lm_optimize_pcg_planes(g, pn)
+        np.testing.assert_allclose(np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-9)
+        np.testing.assert_allclose(float(s2.chi2_final), float(s1.chi2_final), rtol=1e-8)
+
+    def test_sharded_pcg_planes_matches_single(self, rng):
+        from semantic_slam_tpu.parallel import sharded as sh
+        from semantic_slam_tpu.solver import pcg as pcg_mod
+
+        cpu_mesh8 = sh.make_mesh(8)
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.05)
+        planes = [[1.0, 0.0, 0.0, -6.0]]
+        pn = with_plane_observations(rng, g, gt_poses, planes, noise=0.005)
+        g_s, pn_s, s_s = pcg_mod.sharded_lm_optimize_pcg_planes(g, pn, cpu_mesh8)
+        g_1, pn_1, s_1 = pcg_mod.lm_optimize_pcg_planes(g, pn)
+        np.testing.assert_allclose(
+            float(s_s.chi2_final), float(s_1.chi2_final), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_s.poses), np.asarray(g_1.poses), atol=1e-6
+        )

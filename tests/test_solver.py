@@ -72,6 +72,25 @@ class TestJacobians:
             np.testing.assert_allclose(np.asarray(Ji[:, a]), np.asarray(num_i), atol=1e-5)
             np.testing.assert_allclose(np.asarray(Jj[:, a]), np.asarray(num_j), atol=1e-5)
 
+    def test_se3_edge_jacobian_analytic_vs_ad(self, rng):
+        """Analytic (Barfoot Q-matrix) SE3-SE3 Jacobians == forward-AD, over
+        random poses incl. near-identity residuals (small-angle branches)."""
+        dtype = jnp.float64
+        for scale in (1e-9, 1e-4, 0.1, 1.0, 2.5):
+            pi = geo.pose_retract(
+                geo.pose_identity(dtype), jnp.asarray(rng.normal(size=6), dtype)
+            )
+            pj = geo.pose_retract(pi, jnp.asarray(rng.normal(size=6) * scale, dtype))
+            meas = geo.pose_retract(
+                geo.pose_mul(geo.pose_inv(pi), pj),
+                jnp.asarray(rng.normal(size=6) * scale * 0.3, dtype),
+            )
+            r_a, Ji_a, Jj_a = res.se3_edge_residual_jac(pi, pj, meas)
+            r_d, Ji_d, Jj_d = res.se3_edge_residual_jac_ad(pi, pj, meas)
+            np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_d), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(Ji_a), np.asarray(Ji_d), atol=1e-8)
+            np.testing.assert_allclose(np.asarray(Jj_a), np.asarray(Jj_d), atol=1e-8)
+
     def test_se3_point_jacobian_vs_numeric(self, rng):
         dtype = jnp.float64
         p = geo.pose_retract(geo.pose_identity(dtype), jnp.asarray(rng.normal(size=6), dtype))
