@@ -120,6 +120,9 @@ class SolverConfig:
     # RobustKernelDCS is uninitialized UB — PARITY quirk 1): 'none'|'huber'|'dcs'
     robust_kernel: str = "none"
     robust_delta: float = 1.0
+    # Warm-start each tick's LM damping from the previous tick's final lambda
+    # (g2o re-derives it per optimize() call — off keeps that parity).
+    warm_start_lambda: bool = False
     # Throughput knob (DIVERGENCE from the reference, which re-optimizes the
     # full graph on every tick that ingested keyframes): run the LM solve only
     # every Nth such tick. 1 = reference behavior. Ticks in between still

@@ -293,6 +293,7 @@ def _optimize_tick_impl(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     do_opt=True,
+    init_lambda=0.0,
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
@@ -307,11 +308,13 @@ def _optimize_tick_impl(
                 g, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, max_cg_iters=pcg_iters,
                 robust_kind=robust_kind, robust_delta=robust_delta,
+                init_lambda=init_lambda,
             )
         else:
             g2, stats = lm_mod.lm_optimize(
                 g, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, robust_kind=robust_kind, robust_delta=robust_delta,
+                init_lambda=init_lambda,
             )
         marg2 = lm_mod.landmark_marginals(g2)
         has_lms = t.count > 0
@@ -381,6 +384,7 @@ def _tick_fused_detect(
     robust_kind,
     robust_delta,
     do_opt=True,
+    init_lambda=0.0,
 ):
     """Single-keyframe tick fused into ONE device program: keyframe ingest +
     frontend + association + landmark ingest + LM optimize + marginals +
@@ -397,6 +401,7 @@ def _tick_fused_detect(
         max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol,
         linear_solver=linear_solver, pcg_iters=pcg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta, do_opt=do_opt,
+        init_lambda=init_lambda,
     )
     return graph, table, marginals, dets, info
 
@@ -411,6 +416,7 @@ def _tick_fused_plain(
     has_prev,
     info6,
     do_opt=True,
+    init_lambda=0.0,
     **opt_statics,
 ):
     """Single detection-less keyframe tick fused into one program."""
@@ -419,7 +425,8 @@ def _tick_fused_plain(
     with_edge = gs.add_se3_edge(graph, kf_idx - 1, kf_idx, meas, info6)
     graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
     return _optimize_tick_impl(
-        graph, table, marginals, kf_idx, do_opt=do_opt, **opt_statics
+        graph, table, marginals, kf_idx, do_opt=do_opt, init_lambda=init_lambda,
+        **opt_statics
     )
 
 
@@ -648,6 +655,8 @@ class SlamEngine:
 
         # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
         self._ticks_done = 0
+        # previous tick's final LM lambda (warm_start_lambda feed-back)
+        self._last_lambda = 0.0
 
         # host mirrors of device counts (kept exact via the per-tick stats
         # fetch; used for capacity checks without forcing device syncs)
@@ -799,6 +808,9 @@ class SlamEngine:
         n_opt = max(1, self.cfg.solver.optimize_every_n_ticks)
         do_opt = np.bool_(self._ticks_done % n_opt == 0)
         self._ticks_done += 1
+        init_lam = self._npdt(
+            self._last_lambda if self.cfg.solver.warm_start_lambda else 0.0
+        )
 
         t0 = time.perf_counter()
         if self.cfg.use_plane_landmarks:
@@ -851,7 +863,8 @@ class SlamEngine:
                     self.graph, self.table, self.marginals, dets, info
                 ) = _tick_fused_detect(
                     self.graph, self.table, self.marginals, *args,
-                    do_opt=do_opt, **statics, **self._opt_statics(),
+                    do_opt=do_opt, init_lambda=init_lam,
+                    **statics, **self._opt_statics(),
                 )
                 self.last_detected_objects = dets
             else:
@@ -862,6 +875,7 @@ class SlamEngine:
                     has_prev,
                     self._info6,
                     do_opt=do_opt,
+                    init_lambda=init_lam,
                     **self._opt_statics(),
                 )
             kf.node_idx = self._n_poses
@@ -935,6 +949,7 @@ class SlamEngine:
                 self.marginals,
                 np.int32(last_idx),
                 do_opt=do_opt,
+                init_lambda=init_lam,
                 **self._opt_statics(),
             )
         info = np.asarray(info, np.float64)  # the single device->host fetch
@@ -951,6 +966,7 @@ class SlamEngine:
             est = info[8:15]
             self.robot_pose = est.copy()
             self.map2odom = _np_pose_mul(est, _np_pose_inv(last.odom))
+            self._last_lambda = float(info[3])
 
         from semantic_slam_tpu.utils.profiling import log_optimize
 

@@ -286,6 +286,7 @@ def run_lm_loop(
     max_iterations: int,
     rel_tol: float,
     init_lambda_tau: float = 1e-5,
+    init_lambda=0.0,
 ):
     """The damped LM iteration over node variables only (edges are fixed
     during optimization, so they live inside the two closures — locally or
@@ -295,6 +296,10 @@ def run_lm_loop(
     after an ACCEPTED step (rejected steps retry the same linear system with
     a larger lambda — exactly what g2o's LM does), so a rejected iteration
     costs one solve + one chi2 instead of a full relinearization.
+
+    ``init_lambda > 0`` (traced) overrides the tau*diag heuristic — the
+    warm-start hook: feeding back the previous tick's final lambda skips the
+    damping search a fresh solve would repeat.
     """
     lin0 = linearize_fn(poses, landmarks)
     chi2_0 = lin0.chi2
@@ -304,7 +309,12 @@ def run_lm_loop(
         jnp.max(jnp.abs(jnp.diagonal(lin0.Hpp))),
         jnp.max(jnp.abs(jnp.diagonal(lin0.Hll, axis1=-2, axis2=-1))),
     )
-    lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
+    init_lambda = jnp.asarray(init_lambda, dtype)
+    lam0 = jnp.where(
+        init_lambda > 0,
+        init_lambda,
+        init_lambda_tau * jnp.maximum(diag_max, 1.0),
+    ).astype(dtype)
 
     def cond(carry):
         _, _, _, _, _, it, done = carry
@@ -367,11 +377,12 @@ def lm_optimize(
     rel_tol: float = 1e-6,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    init_lambda=0.0,
 ) -> tuple[GraphState, LMStats]:
     """Full-batch LM over the active graph (g2o GraphSLAM::optimize analog).
 
     Skips entirely when fewer than ``min_edges`` edges exist
-    (graph_slam.cpp:184-186).
+    (graph_slam.cpp:184-186). ``init_lambda > 0`` warm-starts the damping.
     """
     pose_free, lm_free = _free_masks(g)
     edges = _edge_args(g)
@@ -384,7 +395,7 @@ def lm_optimize(
 
     poses, landmarks, stats = run_lm_loop(
         g.poses, g.landmarks, lin_fn, chi2_fn, pose_free, lm_free,
-        max_iterations, rel_tol,
+        max_iterations, rel_tol, init_lambda=init_lambda,
     )
 
     run = g.num_edges() >= min_edges

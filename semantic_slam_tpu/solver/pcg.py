@@ -270,8 +270,10 @@ def run_lm_loop_pcg(
     init_lambda_tau: float = 1e-5,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    init_lambda=0.0,
 ):
-    """Nielsen-damped LM with the matrix-free PCG inner solver."""
+    """Nielsen-damped LM with the matrix-free PCG inner solver.
+    ``init_lambda > 0`` (traced) warm-starts the damping."""
     dtype = poses.dtype
 
     def chi2_fn(p, l):
@@ -290,7 +292,10 @@ def run_lm_loop_pcg(
         jnp.max(jnp.abs(jnp.diagonal(eb0.diag, axis1=-2, axis2=-1))),
         jnp.max(jnp.abs(jnp.diagonal(eb0.Hll, axis1=-2, axis2=-1))),
     )
-    lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
+    init_lambda = jnp.asarray(init_lambda, dtype)
+    lam0 = jnp.where(
+        init_lambda > 0, init_lambda, init_lambda_tau * jnp.maximum(diag_max, 1.0)
+    ).astype(dtype)
 
     def solve(eb, lam):
         return schur_pcg_step(eb, lam, pose_free, lm_free, allreduce, max_cg_iters)
@@ -363,6 +368,7 @@ def lm_optimize_pcg(
     max_cg_iters: int = 128,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    init_lambda=0.0,
 ):
     """Single-chip matrix-free LM (drop-in for lm_optimize)."""
     pose_free, lm_free = _free_masks(g)
@@ -370,6 +376,7 @@ def lm_optimize_pcg(
         g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
         lambda x: x, max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
+        init_lambda=init_lambda,
     )
     run = g.num_edges() >= min_edges
     g = g._replace(

@@ -301,3 +301,30 @@ class TestOptimizeEveryN:
         kf_xyz = eng.get_keyframe_poses()[:, :3]
         ate_n3 = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
         assert ate_n3 < 0.35  # same bound the every-tick test enforces
+
+
+class TestWarmStartLambda:
+    def test_warm_start_converges_same(self):
+        """warm_start_lambda feeds the previous tick's final damping back in;
+        the trajectory must stay essentially the reference-parity one."""
+        import dataclasses
+
+        log = synth_mod.make_synthetic_log(
+            seed=3, n_steps=360, sensor_every=5, drift_noise=0.008, loops=2.0
+        )
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+
+        ates = {}
+        for ws in (False, True):
+            cfg = e2e_config()
+            cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, warm_start_lambda=ws))
+            eng = SlamEngine(cfg)
+            replay_mod.replay(log, eng)
+            if ws:
+                assert eng._last_lambda > 0.0
+            kf_t = np.array([k.stamp for k in eng.keyframes])
+            kf_xyz = eng.get_keyframe_poses()[:, :3]
+            ates[ws] = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
+        assert abs(ates[True] - ates[False]) < 0.02
+        assert ates[True] < 0.35
