@@ -37,6 +37,10 @@ def cmd_synth(args) -> None:
         cam_pitch=math.radians(args.cam_pitch_deg),
         scene=args.scene,
     )
+    if args.depth:
+        from semantic_slam_tpu.io.synthetic import clouds_to_depth
+
+        log = clouds_to_depth(log)
     if args.out.endswith(".slog"):
         from semantic_slam_tpu import native
 
@@ -45,7 +49,8 @@ def cmd_synth(args) -> None:
         replay_mod.save_log(args.out, log)
     print(
         f"wrote {args.out}: {len(log.odom)} odom / {len(log.clouds)} clouds / "
-        f"{len(log.detections)} detections / {len(log.gt)} gt"
+        f"{len(log.depths)} depths / {len(log.detections)} detections / "
+        f"{len(log.gt)} gt"
     )
 
 
@@ -88,6 +93,27 @@ def cmd_run(args) -> None:
                 num_hypotheses=min(cfg.segmentation.num_hypotheses, args.crop_size),
             )
         )
+    import dataclasses
+
+    if args.plane_landmarks:
+        cfg = cfg.replace(use_plane_landmarks=True)
+    if args.plane_gate:
+        cfg = cfg.replace(
+            association=dataclasses.replace(cfg.association, use_plane_gate=True)
+        )
+    solver_kw = {}
+    if args.robust != "none":
+        solver_kw["robust_kernel"] = args.robust
+    if args.solver:
+        solver_kw["linear_solver"] = args.solver
+    if args.optimize_every > 1:
+        solver_kw["optimize_every_n_ticks"] = args.optimize_every
+    if solver_kw:
+        cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
+    if args.adaptive_normals:
+        cfg = cfg.replace(
+            segmentation=dataclasses.replace(cfg.segmentation, adaptive_normals=True)
+        )
 
     engine = SlamEngine(cfg)
     if args.log.endswith(".slog"):
@@ -101,6 +127,8 @@ def cmd_run(args) -> None:
     else:
         log = replay_mod.load_log(args.log)
         replay_mod.replay(log, engine)
+    if args.optimize_every > 1:
+        engine.finalize()
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -134,14 +162,29 @@ def cmd_run(args) -> None:
         from semantic_slam_tpu.core import geometry as geo
         from semantic_slam_tpu.mapping import voxel as vox
 
+        from semantic_slam_tpu.frontend import depth as depth_mod
+
         grid = vox.make_grid()
+        insert = (
+            vox.insert_keyframe_cloud_carving if args.carve
+            else vox.insert_keyframe_cloud
+        )
         for kf in engine.keyframes:
             if kf.cloud is None or kf.node_idx is None:
                 continue
+            if kf.depth_intr is not None:
+                pts, valid = depth_mod.backproject_depth(
+                    jnp.asarray(kf.cloud[0]),
+                    jnp.asarray(kf.depth_intr, engine.dtype),
+                    jnp.asarray(kf.depth_scale, engine.dtype),
+                )
+            else:
+                pts = jnp.asarray(kf.cloud[0], engine.dtype)
+                valid = kf.cloud[1]
             est = engine.graph.poses[kf.node_idx]
             xyzrpy = geo.pose_to_xyzrpy(est)
-            grid = vox.insert_keyframe_cloud(
-                grid, kf.cloud[0].astype(engine.dtype), kf.cloud[1], xyzrpy,
+            grid = insert(
+                grid, pts, valid, xyzrpy,
                 jnp.asarray(cfg.camera_angle_rad, engine.dtype),
                 strict_frames=cfg.strict_reference_frames,
             )
@@ -196,6 +239,11 @@ def main(argv=None) -> None:
         "--cam-pitch-deg", type=float, default=0.0,
         help="camera pitch of the simulated rig; match the profile's camera_angle",
     )
+    ps.add_argument(
+        "--depth", action="store_true",
+        help="store u16 depth frames + intrinsics instead of XYZ clouds "
+        "(6x smaller logs; backprojection runs on-device at replay)",
+    )
     ps.set_defaults(fn=cmd_synth)
 
     pr = sub.add_parser("run", help="replay a log through the SLAM engine")
@@ -214,6 +262,35 @@ def main(argv=None) -> None:
     pr.add_argument(
         "--crop-size", type=int, default=0,
         help="override the bbox resample grid (0 = profile default)",
+    )
+    pr.add_argument(
+        "--plane-landmarks", action="store_true",
+        help="planar-patch landmark mode (centroid + plane orientation/offset)",
+    )
+    pr.add_argument(
+        "--plane-gate", action="store_true",
+        help="plane-aware association gate (normal angle + offset)",
+    )
+    pr.add_argument(
+        "--robust", choices=["none", "huber", "dcs"], default="none",
+        help="robust kernel on observation/plane edges",
+    )
+    pr.add_argument(
+        "--solver", choices=["", "dense", "pcg"], default="",
+        help="override the linear solver (empty = profile default)",
+    )
+    pr.add_argument(
+        "--optimize-every", type=int, default=1,
+        help="run the LM solve every Nth tick (1 = reference every-tick); "
+        "a finalize pass always runs at the end",
+    )
+    pr.add_argument(
+        "--adaptive-normals", action="store_true",
+        help="PCL-faithful adaptive normal windows near depth discontinuities",
+    )
+    pr.add_argument(
+        "--carve", action="store_true",
+        help="with --voxel: octomap-style free-space carving + log-odds",
     )
     pr.set_defaults(fn=cmd_run)
 

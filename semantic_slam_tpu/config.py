@@ -55,6 +55,10 @@ class SegmentationConfig:
     crop_width: int = 256
     max_planes_per_detection: int = 4
     num_hypotheses: int = 128  # RANSAC hypotheses per extraction round
+    # PCL-faithful adaptive normal windows near depth discontinuities
+    # (IntegralImageNormalEstimation's MaxDepthChangeFactor window shrinking);
+    # False keeps the fixed-window + variance-reject behavior.
+    adaptive_normals: bool = False
     normal_smoothing_size: int = 20  # PCL setNormalSmoothingSize(20.0f)
     max_depth_change_factor: float = 0.03  # PCL setMaxDepthChangeFactor
 

@@ -109,3 +109,87 @@ def compute_normals(
 
     normal_valid = valid & (n[..., 0] >= min_points) & depth_ok
     return normal, normal_valid
+
+
+@partial(jax.jit, static_argnames=("smoothing_size", "min_points", "num_scales"))
+def compute_normals_adaptive(
+    points: jax.Array,
+    valid: jax.Array,
+    smoothing_size: int = 20,
+    min_points: int = 4,
+    num_scales: int = 3,
+    max_depth_change_factor: float = 0.03,
+) -> tuple[jax.Array, jax.Array]:
+    """PCL-faithful adaptive-window variant of ``compute_normals``.
+
+    PCL's ``IntegralImageNormalEstimation`` shrinks the smoothing window near
+    depth discontinuities (distance-map / MaxDepthChangeFactor logic). The
+    branch-free TPU analog: evaluate the SAME integral image at
+    ``num_scales`` radii (full, half, quarter, ...), count depth-edge pixels
+    inside each window via a second integral image, and per pixel select the
+    LARGEST window containing no discontinuity (smallest otherwise). Cost is
+    ``num_scales`` box-sum reads of one prefix-sum tensor — no gathers, no
+    data-dependent control flow.
+    """
+    dtype = points.dtype
+    v = valid.astype(dtype)[..., None]
+    p = jnp.where(valid[..., None], points, 0.0)
+
+    x, y, z = p[..., 0:1], p[..., 1:2], p[..., 2:3]
+    feats = jnp.concatenate([p, x * x, x * y, x * z, y * y, y * z, z * z, v], axis=-1)
+    feats = feats * v
+    ii = jnp.cumsum(jnp.cumsum(feats, axis=0), axis=1)
+    ii = jnp.pad(ii, ((1, 0), (1, 0), (0, 0)))
+
+    # depth-edge map (PCL's depth change map): neighbor |dz| above
+    # factor * z, or a validity transition
+    zz = points[..., 2]
+    thr = max_depth_change_factor * jnp.abs(zz) + 0.02
+    dz_x = jnp.abs(jnp.diff(zz, axis=1, prepend=zz[:, :1]))
+    dz_y = jnp.abs(jnp.diff(zz, axis=0, prepend=zz[:1, :]))
+    vdiff_x = valid != jnp.roll(valid, 1, axis=1)
+    vdiff_y = valid != jnp.roll(valid, 1, axis=0)
+    edge = (dz_x > thr) | (dz_y > thr) | vdiff_x | vdiff_y
+    ii_e = jnp.cumsum(jnp.cumsum(edge.astype(dtype)[..., None], axis=0), axis=1)
+    ii_e = jnp.pad(ii_e, ((1, 0), (1, 0), (0, 0)))
+
+    radii = [max(1, (smoothing_size // 2) >> k) for k in range(num_scales)]
+    s_stack = jnp.stack([_box_sum(ii, r) for r in radii])  # [R, H, W, 10]
+    e_stack = jnp.stack([_box_sum(ii_e, r)[..., 0] for r in radii])  # [R, H, W]
+
+    clean = e_stack <= 0.5  # window free of discontinuities
+    # index of the first (largest-radius) clean scale; fall back to smallest
+    first_clean = jnp.argmax(clean, axis=0)
+    any_clean = jnp.any(clean, axis=0)
+    sel = jnp.where(any_clean, first_clean, len(radii) - 1)  # [H, W]
+    s = jnp.take_along_axis(s_stack, sel[None, ..., None], axis=0)[0]
+
+    n = s[..., 9:10]
+    n_safe = jnp.maximum(n, 1.0)
+    mean = s[..., 0:3] / n_safe
+    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+    nn = n_safe[..., 0]
+    c00 = s[..., 3] / nn - mx * mx
+    c01 = s[..., 4] / nn - mx * my
+    c02 = s[..., 5] / nn - mx * mz
+    c11 = s[..., 6] / nn - my * my
+    c12 = s[..., 7] / nn - my * mz
+    c22 = s[..., 8] / nn - mz * mz
+    C = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c01, c11, c12], axis=-1),
+            jnp.stack([c02, c12, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    normal, _ = linalg3.sym33_smallest_eig(C)
+    flip = jnp.sum(normal * points, axis=-1, keepdims=True) > 0
+    normal = jnp.where(flip, -normal, normal)
+
+    # windows that shrank to the smallest radius AND still contain an edge
+    # keep the fixed-window variance rejection as a safety net
+    max_dz = max_depth_change_factor * jnp.abs(zz) + 0.02
+    depth_ok = any_clean | (jnp.sqrt(jnp.maximum(c22, 0.0)) < max_dz * 3.0)
+    normal_valid = valid & (n[..., 0] >= min_points) & depth_ok
+    return normal, normal_valid

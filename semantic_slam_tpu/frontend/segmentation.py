@@ -90,6 +90,7 @@ def _bbox_sample(points, valid, normal, normal_valid, box, samp_h, samp_w):
         "num_hypotheses",
         "smoothing_size",
         "strict_frames",
+        "adaptive_normals",
     ),
 )
 def segment_all(
@@ -111,15 +112,21 @@ def segment_all(
     num_hypotheses: int = 128,
     smoothing_size: int = 20,
     strict_frames: bool = True,
+    adaptive_normals: bool = False,
 ) -> DetectedObjects:
     H, W = points.shape[:2]
     D = boxes.shape[0]
     dtype = points.dtype
     N = samp_h * samp_w
 
-    normal, normal_valid = nrm_mod.compute_normals(
-        points, cloud_valid, smoothing_size=smoothing_size
-    )
+    if adaptive_normals:
+        normal, normal_valid = nrm_mod.compute_normals_adaptive(
+            points, cloud_valid, smoothing_size=smoothing_size
+        )
+    else:
+        normal, normal_valid = nrm_mod.compute_normals(
+            points, cloud_valid, smoothing_size=smoothing_size
+        )
     h_cam4 = frames.horizontal_plane_normal_in_cam(robot_xyzrpy, cam_angle, strict=strict_frames)
     h_cam = h_cam4[:3]
     T_cw = frames.t_cam_world(robot_xyzrpy, cam_angle, strict=strict_frames)

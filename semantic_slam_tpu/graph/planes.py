@@ -26,6 +26,7 @@ from semantic_slam_tpu.graph import residuals as res
 from semantic_slam_tpu.graph.state import GraphState
 from semantic_slam_tpu.solver import lm as lm_mod
 from semantic_slam_tpu.solver.plane_ba import plane_retract
+from semantic_slam_tpu.solver.robust import robust_rho, robust_weight
 
 
 class PlaneNodes(NamedTuple):
@@ -93,9 +94,23 @@ def _plane_edge_jac(pose_k, plane4, meas4):
     return r, J[:, :6], J[:, 6:]
 
 
-def linearize_with_planes(g: GraphState, pn: PlaneNodes) -> lm_mod.Linearization:
-    """Point linearization + plane blocks appended onto the landmark system."""
-    lin = lm_mod.linearize(g)
+def linearize_with_planes(
+    g: GraphState,
+    pn: PlaneNodes,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+) -> lm_mod.Linearization:
+    """Point linearization + plane blocks appended onto the landmark system.
+
+    ``robust_kind`` applies the same Huber/DCS IRLS reweighting to BOTH the
+    point observation edges (via the base linearization) and the SE3-plane
+    edges; odometry stays unweighted, matching the reference's robust-kernel
+    placement (graph_slam.cpp:155-161 attaches kernels to landmark edges
+    only)."""
+    lin = lm_mod.linearize_arrays(
+        g.poses, g.landmarks, *lm_mod._edge_args(g),
+        robust_kind=robust_kind, robust_delta=robust_delta,
+    )
     K = g.poses.shape[0]
     Pl = pn.planes.shape[0]
     dtype = g.poses.dtype
@@ -105,6 +120,11 @@ def linearize_with_planes(g: GraphState, pn: PlaneNodes) -> lm_mod.Linearization
     r_p, Jk, Jp = jax.vmap(_plane_edge_jac)(
         g.poses[pn.pe_k], pn.planes[pn.pe_p], pn.pe_meas
     )
+    chi_e = jnp.einsum("ea,eab,eb->e", r_p, p_info, r_p)
+    chi_p_rho = jnp.sum(robust_rho(chi_e, robust_kind, robust_delta))
+    if robust_kind != "none":
+        w = robust_weight(chi_e, robust_kind, robust_delta).astype(dtype)
+        p_info = p_info * w[:, None, None]
     JkT_O = jnp.einsum("eai,eab->eib", Jk, p_info)
     JpT_O = jnp.einsum("eai,eab->eib", Jp, p_info)
     H_kk = jnp.einsum("eia,eaj->eij", JkT_O, Jk)
@@ -112,7 +132,7 @@ def linearize_with_planes(g: GraphState, pn: PlaneNodes) -> lm_mod.Linearization
     H_pp = jnp.einsum("eia,eaj->eij", JpT_O, Jp)
     g_k = jnp.einsum("eia,ea->ei", JkT_O, r_p)
     g_p = jnp.einsum("eia,ea->ei", JpT_O, r_p)
-    chi_p = jnp.einsum("ea,eab,eb->", r_p, p_info, r_p)
+    chi_p = chi_p_rho
 
     Hpp = lin.Hpp.reshape(K, 6, K, 6)
     Hpp = jnp.transpose(Hpp, (0, 2, 1, 3))  # [K, K, 6, 6]
@@ -134,22 +154,36 @@ def linearize_with_planes(g: GraphState, pn: PlaneNodes) -> lm_mod.Linearization
     return lm_mod.Linearization(Hpp2, W, Hll, gp, gl, lin.chi2 + chi_p)
 
 
-def chi2_with_planes(g: GraphState, pn: PlaneNodes) -> jax.Array:
-    base = lm_mod.chi2_arrays(g.poses, g.landmarks, *lm_mod._edge_args(g))
+def chi2_with_planes(
+    g: GraphState,
+    pn: PlaneNodes,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+) -> jax.Array:
+    base = lm_mod.chi2_arrays(
+        g.poses, g.landmarks, *lm_mod._edge_args(g),
+        robust_kind=robust_kind, robust_delta=robust_delta,
+    )
     r_p = jax.vmap(res.se3_plane_residual)(
         g.poses[pn.pe_k], pn.planes[pn.pe_p], pn.pe_meas
     )
     chi_p = jnp.einsum("ei,eij,ej->e", r_p, pn.pe_info, r_p)
+    chi_p = robust_rho(chi_p, robust_kind, robust_delta)
     return base + jnp.sum(chi_p * pn.pe_mask().astype(g.poses.dtype))
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol"))
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "min_edges", "rel_tol", "robust_kind", "robust_delta"),
+)
 def lm_optimize_with_planes(
     g: GraphState,
     pn: PlaneNodes,
     max_iterations: int = 64,
     min_edges: int = 10,
     rel_tol: float = 1e-6,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ) -> tuple[GraphState, PlaneNodes, lm_mod.LMStats]:
     """Joint LM over poses + point landmarks + plane landmarks (Schur
     elimination of both block types)."""
@@ -159,7 +193,13 @@ def lm_optimize_with_planes(
     pose_free, lm_free = lm_mod._free_masks(g)
     block_free = jnp.concatenate([lm_free, pn.plane_mask()])
 
-    lin0 = linearize_with_planes(g, pn)
+    def lin_fn(g_, pn_):
+        return linearize_with_planes(g_, pn_, robust_kind, robust_delta)
+
+    def chi2_fn(g_, pn_):
+        return chi2_with_planes(g_, pn_, robust_kind, robust_delta)
+
+    lin0 = lin_fn(g, pn)
     chi2_0 = lin0.chi2
     dtype = g.poses.dtype
 
@@ -185,7 +225,7 @@ def lm_optimize_with_planes(
         g_, pn_, lin, lam, nu, it, done = carry
         dp, db = lm_mod.schur_solve(lin, pose_free, block_free, lam)
         g_t, pn_t = apply(g_, pn_, dp, db)
-        chi2_new = chi2_with_planes(g_t, pn_t)
+        chi2_new = chi2_fn(g_t, pn_t)
 
         delta = jnp.concatenate([dp.reshape(-1), db.reshape(-1)])
         gvec = jnp.concatenate([lin.gp, lin.gl])
@@ -203,7 +243,7 @@ def lm_optimize_with_planes(
         done = converged | (lam > 1e12)
         lin = jax.lax.cond(
             accept & jnp.logical_not(done),
-            lambda: linearize_with_planes(g_, pn_),
+            lambda: lin_fn(g_, pn_),
             lambda: lin,
         )
         return g_, pn_, lin, lam, nu, it + 1, done
@@ -214,7 +254,7 @@ def lm_optimize_with_planes(
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g_out = jax.tree.map(lambda a, b: jnp.where(run, a, b), g_out, g)
     pn_out = jax.tree.map(lambda a, b: jnp.where(run, a, b), pn_out, pn)
-    chi2_f = jnp.where(run, chi2_with_planes(g_out, pn_out), chi2_0)
+    chi2_f = jnp.where(run, chi2_fn(g_out, pn_out), chi2_0)
     stats = lm_mod.LMStats(
         iterations=jnp.where(run, it, 0),
         chi2_initial=chi2_0,

@@ -139,3 +139,128 @@ def load_checkpoint(path: str, engine) -> None:
     engine.gate.accum_distance = float(gate["accum_distance"])
     engine.gate.prev_keypose = np.asarray(gate["prev_keypose"])
     engine.gate.prev_time = float(gate["prev_time"])
+    _restore_count_mirrors(engine)
+
+
+def _restore_count_mirrors(engine) -> None:
+    """Host mirrors of the device counts must match the restored graph —
+    get_keyframe_poses()/capacity checks consume them before the next tick's
+    stats fetch would refresh them."""
+    engine._n_poses = int(engine.graph.num_poses)
+    engine._n_landmarks = int(engine.graph.num_landmarks)
+    engine._n_odom = int(engine.graph.num_odom)
+    engine._n_lme = int(engine.graph.num_lme)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (multi-host / async-friendly)
+# ---------------------------------------------------------------------------
+
+
+def _engine_pytree(engine) -> dict:
+    return {
+        "graph": engine.graph,
+        "table": engine.table,
+        "planes": engine.plane_nodes,
+        "marginals": engine.marginals,
+    }
+
+
+def _engine_host_meta(engine) -> dict:
+    gate = engine.gate
+    return {
+        "keyframes": [
+            {
+                "stamp": k.stamp,
+                "odom": k.odom.tolist(),
+                "robot_pose": k.robot_pose.tolist(),
+                "accum_distance": k.accum_distance,
+                "node_idx": k.node_idx,
+            }
+            for k in engine.keyframes
+        ],
+        "gate": {
+            "is_first": gate.is_first,
+            "accum_distance": gate.accum_distance,
+            "prev_keypose": gate.prev_keypose.tolist(),
+            "prev_time": gate.prev_time,
+        },
+        "first_key_added": engine.first_key_added,
+        "stats_history": engine.stats_history,
+        "robot_pose": engine.robot_pose.tolist(),
+        "vio_pose": engine.vio_pose.tolist(),
+        "prev_odom": engine.prev_odom.tolist(),
+        "map2odom": engine.map2odom.tolist(),
+        "robot_traj": [[s, p.tolist()] for s, p in engine.robot_traj],
+        "vio_traj": [[s, p.tolist()] for s, p in engine.vio_traj],
+    }
+
+
+def save_checkpoint_orbax(path: str, engine) -> None:
+    """Orbax-backed checkpoint: device pytrees go through
+    ``StandardCheckpointer`` (sharding-aware, the multi-host path — each host
+    writes its shards, unlike the npz route which funnels through one
+    process); small host state rides alongside as JSON."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "device_state"), _engine_pytree(engine))
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "host_state.json"), "w") as f:
+        json.dump(_engine_host_meta(engine), f)
+
+
+def load_checkpoint_orbax(path: str, engine) -> None:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from semantic_slam_tpu.runtime.engine import KeyframeMeta
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.join(path, "device_state"), _engine_pytree(engine)
+    )
+    engine.graph = restored["graph"]
+    engine.table = restored["table"]
+    engine.plane_nodes = restored["planes"]
+    engine.marginals = restored["marginals"]
+
+    with open(os.path.join(path, "host_state.json")) as f:
+        meta = json.load(f)
+    engine.robot_pose = np.asarray(meta["robot_pose"], np.float64)
+    engine.vio_pose = np.asarray(meta["vio_pose"], np.float64)
+    engine.prev_odom = np.asarray(meta["prev_odom"], np.float64)
+    engine.map2odom = np.asarray(meta["map2odom"], np.float64)
+    engine.robot_traj = [
+        (float(s), np.asarray(p, np.float64)) for s, p in meta["robot_traj"]
+    ]
+    engine.vio_traj = [
+        (float(s), np.asarray(p, np.float64)) for s, p in meta["vio_traj"]
+    ]
+    engine.first_key_added = bool(meta["first_key_added"])
+    engine.stats_history = meta["stats_history"]
+    engine.keyframes = [
+        KeyframeMeta(
+            stamp=k["stamp"],
+            odom=np.asarray(k["odom"]),
+            robot_pose=np.asarray(k["robot_pose"]),
+            accum_distance=k["accum_distance"],
+            cloud=None,
+            boxes=None,
+            class_ids=None,
+            probs=None,
+            node_idx=k["node_idx"],
+        )
+        for k in meta["keyframes"]
+    ]
+    gate = meta["gate"]
+    engine.gate.is_first = bool(gate["is_first"])
+    engine.gate.accum_distance = float(gate["accum_distance"])
+    engine.gate.prev_keypose = np.asarray(gate["prev_keypose"])
+    engine.gate.prev_time = float(gate["prev_time"])
+    _restore_count_mirrors(engine)

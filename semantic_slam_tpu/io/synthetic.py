@@ -278,3 +278,27 @@ def make_synthetic_log(
         log.odom.append(OdomEvent(t, vio.copy(), None, "rovio"))
         log.gt.append(GtEvent(t, gt[i].copy()))
     return log
+
+
+def clouds_to_depth(log, depth_scale: float = 1e-3):
+    """Convert a synthetic log's CloudEvents to u16 DepthEvents in place.
+
+    Valid because render_cloud's organized clouds are pinhole-consistent
+    (points = z * ((u-cx)/fx, (v-cy)/fx, 1)); real sensors provide the depth
+    frame directly. Round-trips through frontend/depth.backproject_depth to
+    ~1 mm.
+    """
+    from semantic_slam_tpu.io.replay import DepthEvent
+
+    if not log.clouds:
+        return log
+    H, W = log.clouds[0].points.shape[:2]
+    fx = 300.0 * W / 320.0  # make_synthetic_log's FOV-constant intrinsics
+    intr = np.array([fx, fx, W / 2, H / 2], np.float64)
+    for e in log.clouds:
+        z = e.points[..., 2]
+        ok = e.valid & (z > 0)
+        d = np.where(ok, np.clip(np.round(z / depth_scale), 1, 65535), 0)
+        log.depths.append(DepthEvent(e.t, d.astype(np.uint16), intr, depth_scale))
+    log.clouds = []
+    return log

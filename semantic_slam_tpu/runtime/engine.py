@@ -206,6 +206,7 @@ def _process_keyframe_impl(
     strict_frames: bool,
     use_rtabmap_offset: bool,
     depth_input: bool = False,
+    adaptive_normals: bool = False,
 ):
     """ONE device program per detection-bearing keyframe: node+edge append,
     (optional depth backprojection,) frontend, association, landmark
@@ -239,6 +240,7 @@ def _process_keyframe_impl(
         num_hypotheses=num_hypotheses,
         smoothing_size=smoothing_size,
         strict_frames=strict_frames,
+        adaptive_normals=adaptive_normals,
     )
 
     table, res = assoc_mod.associate(
@@ -266,7 +268,7 @@ def _process_keyframe_impl(
 
 _PROC_STATICS = (
     "samp_h", "samp_w", "max_planes", "num_hypotheses", "smoothing_size",
-    "strict_frames", "use_rtabmap_offset", "depth_input",
+    "strict_frames", "use_rtabmap_offset", "depth_input", "adaptive_normals",
 )
 _OPT_STATICS = (
     "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
@@ -376,6 +378,7 @@ def _tick_fused_detect(
     strict_frames,
     use_rtabmap_offset,
     depth_input,
+    adaptive_normals,
     max_iterations,
     min_edges,
     rel_tol,
@@ -394,7 +397,7 @@ def _tick_fused_detect(
         samp_h=samp_h, samp_w=samp_w, max_planes=max_planes,
         num_hypotheses=num_hypotheses, smoothing_size=smoothing_size,
         strict_frames=strict_frames, use_rtabmap_offset=use_rtabmap_offset,
-        depth_input=depth_input,
+        depth_input=depth_input, adaptive_normals=adaptive_normals,
     )
     graph, table, marginals, info = _optimize_tick_impl(
         graph, table, marginals, kf_idx,
@@ -469,6 +472,7 @@ def _process_keyframe_planes(
     strict_frames,
     use_rtabmap_offset,
     depth_input=False,
+    adaptive_normals=False,
 ):
     """Planar-patch variant of the keyframe program: identical ingestion,
     frontend, and (centroid-based, reference-semantics) association; each
@@ -502,6 +506,7 @@ def _process_keyframe_planes(
         cos_angular_thres=cos_angular_thres, samp_h=samp_h, samp_w=samp_w,
         max_planes=max_planes, num_hypotheses=num_hypotheses,
         smoothing_size=smoothing_size, strict_frames=strict_frames,
+        adaptive_normals=adaptive_normals,
     )
     table, res = assoc_mod.associate(
         table, dets, robot_xyzrpy, cam_angle, use_maha, maha_thres, eq_thres,
@@ -541,7 +546,10 @@ def _process_keyframe_planes(
     return graph, table, pn, dets, kf_idx
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters"))
+@partial(jax.jit, static_argnames=(
+    "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
+    "robust_kind", "robust_delta",
+))
 def _optimize_tick_planes(
     graph,
     table,
@@ -552,6 +560,8 @@ def _optimize_tick_planes(
     rel_tol: float,
     linear_solver: str = "dense",
     pcg_iters: int = 128,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
     do_opt=True,
 ):
     """Planar-patch tick: joint pose+point+plane Schur LM (dense Cholesky or
@@ -567,11 +577,13 @@ def _optimize_tick_planes(
             graph, pn, stats = pcg_mod.lm_optimize_pcg_planes(
                 graph, pn, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, max_cg_iters=pcg_iters,
+                robust_kind=robust_kind, robust_delta=robust_delta,
             )
         else:
             graph, pn, stats = planes_ext.lm_optimize_with_planes(
                 graph, pn, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol,
+                robust_kind=robust_kind, robust_delta=robust_delta,
             )
         ran = (stats.iterations > 0) & (table.count > 0)
         marg = lm_mod.landmark_marginals(graph)
@@ -848,6 +860,8 @@ class SlamEngine:
                 rel_tol=self.cfg.solver.rel_decrease_tol,
                 linear_solver=self.cfg.solver.linear_solver,
                 pcg_iters=self.cfg.solver.pcg_iters,
+                robust_kind=self.cfg.solver.robust_kernel,
+                robust_delta=self.cfg.solver.robust_delta,
                 do_opt=do_opt,
             )
         elif len(batch) == 1:
@@ -1009,6 +1023,8 @@ class SlamEngine:
                 rel_tol=self.cfg.solver.rel_decrease_tol,
                 linear_solver=self.cfg.solver.linear_solver,
                 pcg_iters=self.cfg.solver.pcg_iters,
+                robust_kind=self.cfg.solver.robust_kernel,
+                robust_delta=self.cfg.solver.robust_delta,
                 do_opt=np.bool_(True),
             )
         else:
@@ -1100,6 +1116,7 @@ class SlamEngine:
             strict_frames=cfg.strict_reference_frames,
             use_rtabmap_offset=a.use_rtab_map_odom,
             depth_input=depth_input,
+            adaptive_normals=seg.adaptive_normals,
         )
         return args, statics
 

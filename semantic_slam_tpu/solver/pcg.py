@@ -428,6 +428,11 @@ def build_edge_blocks_with_planes(
     pm = pe_mask.astype(dtype)
     p_info = pe_info * pm[:, None, None]
     r_p, Jk, Jp = jax.vmap(_plane_edge_jac)(poses[pe_k], planes[pe_p], pe_meas)
+    chi_e = jnp.einsum("ea,eab,eb->e", r_p, p_info, r_p)
+    chi_p_rho = jnp.sum(robust_rho(chi_e, robust_kind, robust_delta))
+    if robust_kind != "none":
+        w = robust_weight(chi_e, robust_kind, robust_delta).astype(dtype)
+        p_info = p_info * w[:, None, None]
     JkT_O = jnp.einsum("eai,eab->eib", Jk, p_info)
     JpT_O = jnp.einsum("eai,eab->eib", Jp, p_info)
     H_kk = jnp.einsum("eia,eaj->eij", JkT_O, Jk)
@@ -435,7 +440,7 @@ def build_edge_blocks_with_planes(
     H_pp = jnp.einsum("eia,eaj->eij", JpT_O, Jp)
     g_k = jnp.einsum("eia,ea->ei", JkT_O, r_p)
     g_p = jnp.einsum("eia,ea->ei", JpT_O, r_p)
-    chi_p = jnp.einsum("ea,eab,eb->", r_p, p_info, r_p)
+    chi_p = chi_p_rho
 
     Hll_p = jnp.zeros((Pl, 3, 3), dtype).at[pe_p].add(H_pp)
     gl_p = jnp.zeros((Pl, 3), dtype).at[pe_p].add(g_p)
@@ -474,6 +479,8 @@ def run_lm_loop_pcg_planes(
     rel_tol: float,
     max_cg_iters: int = 128,
     init_lambda_tau: float = 1e-5,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ):
     """Nielsen-damped LM over poses + point landmarks + plane landmarks with
     the matrix-free PCG inner solver (scaling-path analog of
@@ -487,14 +494,18 @@ def run_lm_loop_pcg_planes(
     pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
 
     def chi2_fn(p, l, pl):
-        base = chi2_arrays(p, l, *edge_args)
+        base = chi2_arrays(
+            p, l, *edge_args, robust_kind=robust_kind, robust_delta=robust_delta
+        )
         r_p = jax.vmap(gres.se3_plane_residual)(p[pe_k], pl[pe_p], pe_meas)
         chi_p = jnp.einsum("ei,eij,ej->e", r_p, pe_info, r_p)
+        chi_p = robust_rho(chi_p, robust_kind, robust_delta)
         return allreduce(base + jnp.sum(chi_p * pe_mask.astype(dtype)))
 
     def build(p, l, pl):
         return build_edge_blocks_with_planes(
-            p, l, pl, edge_args, plane_args, allreduce
+            p, l, pl, edge_args, plane_args, allreduce,
+            robust_kind=robust_kind, robust_delta=robust_delta,
         )
 
     eb0 = build(poses, landmarks, planes)
@@ -553,7 +564,10 @@ def run_lm_loop_pcg_planes(
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "min_edges", "rel_tol", "max_cg_iters"),
+    static_argnames=(
+        "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
+        "robust_kind", "robust_delta",
+    ),
 )
 def lm_optimize_pcg_planes(
     g: GraphState,
@@ -562,6 +576,8 @@ def lm_optimize_pcg_planes(
     min_edges: int = 10,
     rel_tol: float = 1e-6,
     max_cg_iters: int = 128,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
 ):
     """Single-chip matrix-free planar-patch LM (drop-in for
     ``graph/planes.lm_optimize_with_planes`` on the scaling path)."""
@@ -571,6 +587,7 @@ def lm_optimize_pcg_planes(
         g.poses, g.landmarks, pn.planes, _edge_args(g), plane_args,
         pose_free, lm_free, pn.plane_mask(), lambda x: x,
         max_iterations, rel_tol, max_cg_iters,
+        robust_kind=robust_kind, robust_delta=robust_delta,
     )
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(

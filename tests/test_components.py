@@ -237,3 +237,63 @@ class TestFreeSpaceCarving:
         )
         assert int(np.asarray(grid.hits).sum()) == 1
         assert int(np.asarray(grid.misses).sum()) > 5
+
+
+class TestCheckpointMirrorsAndOrbax:
+    def _session(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_e2e import e2e_config
+
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        log = synth_mod.make_synthetic_log(seed=5, n_steps=120, sensor_every=6, H=120, W=160)
+        eng = SlamEngine(e2e_config())
+        replay_mod.replay(log, eng)
+        return e2e_config, eng
+
+    def test_count_mirrors_restored(self, tmp_path):
+        """get_keyframe_poses() must be non-empty right after resume (host
+        count mirrors come from the checkpoint, not the next tick)."""
+        from semantic_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        e2e_config, eng = self._session()
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, eng)
+        eng2 = SlamEngine(e2e_config())
+        load_checkpoint(p, eng2)
+        assert eng2.get_keyframe_poses().shape[0] == int(eng.graph.num_poses) > 0
+        assert eng2._n_odom == int(eng.graph.num_odom)
+        assert eng2._n_lme == int(eng.graph.num_lme)
+
+    def test_orbax_round_trip(self, tmp_path):
+        from semantic_slam_tpu.io.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        e2e_config, eng = self._session()
+        p = str(tmp_path / "ckpt_orbax")
+        save_checkpoint_orbax(p, eng)
+
+        eng2 = SlamEngine(e2e_config())
+        load_checkpoint_orbax(p, eng2)
+        np.testing.assert_allclose(
+            np.asarray(eng2.graph.poses), np.asarray(eng.graph.poses)
+        )
+        assert int(eng2.table.count) == int(eng.table.count)
+        assert len(eng2.keyframes) == len(eng.keyframes)
+        np.testing.assert_allclose(eng2.robot_pose, eng.robot_pose)
+        assert eng2.get_keyframe_poses().shape[0] > 0
+        # restored engine keeps running
+        eng2.vio_callback(100.0, eng.prev_odom)
+        eng2.vio_callback(
+            101.5, eng.prev_odom + np.array([1, 0, 0, 0, 0, 0, 0.0])
+        )
+        eng2.run()
+        assert int(eng2.graph.num_poses) >= int(eng.graph.num_poses)

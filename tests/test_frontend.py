@@ -181,3 +181,52 @@ class TestSegmentAll:
             smoothing_size=10,
         )
         assert not np.asarray(out.valid).any()
+
+
+class TestAdaptiveNormals:
+    def _two_plane_scene(self):
+        """Two fronto-parallel planes with a depth step at column W/2."""
+        import jax.numpy as jnp
+
+        H, W = 48, 64
+        fx = 60.0
+        cx, cy = W / 2, H / 2
+        u = np.arange(W)[None, :].repeat(H, 0)
+        v = np.arange(H)[:, None].repeat(W, 1)
+        z = np.where(u < W // 2, 1.0, 2.0)
+        pts = np.stack([(u - cx) * z / fx, (v - cy) * z / fx, z], -1)
+        return jnp.asarray(pts, jnp.float64), jnp.ones((H, W), bool)
+
+    def test_adaptive_recovers_more_pixels_at_step(self):
+        """Fixed windows invalidate a band around the depth step; adaptive
+        windows shrink instead, keeping normals valid closer to the edge —
+        and the recovered normals still point along -z."""
+        from semantic_slam_tpu.frontend import normals as nrm
+
+        pts, valid = self._two_plane_scene()
+        n_f, v_f = nrm.compute_normals(pts, valid, smoothing_size=16)
+        n_a, v_a = nrm.compute_normals_adaptive(pts, valid, smoothing_size=16)
+        band = np.s_[8:-8, 24:40]  # rows away from border, cols around step
+        assert int(np.asarray(v_a)[band].sum()) > int(np.asarray(v_f)[band].sum())
+        # normals on valid pixels near the step face the camera (-z)
+        va = np.asarray(v_a)[band]
+        nz = np.asarray(n_a)[band][..., 2]
+        assert (np.abs(nz[va]) > 0.95).all()
+
+    def test_adaptive_matches_fixed_on_smooth_scene(self, rng):
+        """No discontinuities -> largest window always selected -> identical
+        to the fixed-window path."""
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.frontend import normals as nrm
+
+        H, W = 40, 48
+        u = np.arange(W)[None, :].repeat(H, 0)
+        v = np.arange(H)[:, None].repeat(W, 1)
+        z = 2.0 + 0.002 * u  # gentle slope, below the depth-change threshold
+        pts = jnp.asarray(np.stack([u * 0.01, v * 0.01, z], -1), jnp.float64)
+        valid = jnp.ones((H, W), bool)
+        n_f, v_f = nrm.compute_normals(pts, valid, smoothing_size=8)
+        n_a, v_a = nrm.compute_normals_adaptive(pts, valid, smoothing_size=8)
+        np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_f))
+        np.testing.assert_allclose(np.asarray(n_a), np.asarray(n_f), atol=1e-12)

@@ -122,3 +122,50 @@ class TestPCGPlanesPath:
         np.testing.assert_allclose(
             np.asarray(g_s.poses), np.asarray(g_1.poses), atol=1e-6
         )
+
+
+class TestRobustPlaneEdges:
+    def test_huber_downweights_outlier_plane_obs(self, rng):
+        """A grossly wrong plane observation must pull the solution less
+        under Huber than under pure least squares."""
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.02)
+        truth = [[0.0, 1.0, 0.0, -3.0]]
+        pn = with_plane_observations(rng, g, gt_poses, truth, noise=0.002)
+        # corrupt ONE observation's offset by 2 m
+        pn = pn._replace(pe_meas=pn.pe_meas.at[2, 3].add(2.0))
+
+        g_ls, pn_ls, _ = gp.lm_optimize_with_planes(g, pn)
+        g_hb, pn_hb, _ = gp.lm_optimize_with_planes(
+            g, pn, robust_kind="huber", robust_delta=1.0
+        )
+        d_truth = np.asarray(truth[0][3])
+
+        def off_err(p):
+            got = np.asarray(p.planes[0])
+            s = np.sign(got[:3] @ np.asarray(truth[0][:3]))
+            return abs(got[3] * s - d_truth)
+
+        assert off_err(pn_hb) < off_err(pn_ls)
+
+    def test_robust_none_matches_baseline(self, rng):
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.05)
+        pn = with_plane_observations(rng, g, gt_poses, [[1.0, 0, 0, -6.0]], noise=0.005)
+        g1, pn1, s1 = gp.lm_optimize_with_planes(g, pn)
+        g2, pn2, s2 = gp.lm_optimize_with_planes(g, pn, robust_kind="none")
+        np.testing.assert_allclose(np.asarray(g1.poses), np.asarray(g2.poses))
+
+    def test_pcg_robust_matches_dense_robust(self, rng):
+        from semantic_slam_tpu.solver import pcg as pcg_mod
+
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.03)
+        pn = with_plane_observations(rng, g, gt_poses, [[0.0, 1.0, 0.0, -3.0]], noise=0.002)
+        pn = pn._replace(pe_meas=pn.pe_meas.at[2, 3].add(2.0))
+        g_d, pn_d, s_d = gp.lm_optimize_with_planes(
+            g, pn, robust_kind="dcs", robust_delta=2.0
+        )
+        g_p, pn_p, s_p = pcg_mod.lm_optimize_pcg_planes(
+            g, pn, max_cg_iters=256, robust_kind="dcs", robust_delta=2.0
+        )
+        np.testing.assert_allclose(
+            float(s_p.chi2_final), float(s_d.chi2_final), rtol=1e-3
+        )
