@@ -75,14 +75,27 @@ def tpu_ms_per_iter():
     # measured first (it is usually the headline), and the dense pass is
     # skipped if the TPU tunnel is in a slow mode so one kernel's number
     # always lands within the driver's time budget.
+    # cg=32 converges to the same chi2 as cg=64/dense on this graph family
+    # (measured: 556 vs 558/587 from 1.3e8) at ~27% less wall clock. The
+    # tridiag PCR preconditioner halves CG iterations but its log2(K) apply
+    # levels cost more than they save single-chip — it is the multi-chip
+    # option (fewer CG steps = fewer psum round trips), not the 1-chip one.
     t_start = time.perf_counter()
-    pcg = measure(
-        "pcg64",
+    pcg32 = measure(
+        "pcg32",
         lambda g: pcg_mod.lm_optimize_pcg(
-            g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=64
+            g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
         ),
     )
-    best = pcg
+    best = pcg32
+    if time.perf_counter() - t_start < 300.0:
+        pcg = measure(
+            "pcg64",
+            lambda g: pcg_mod.lm_optimize_pcg(
+                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=64
+            ),
+        )
+        best = min(best, pcg)
     if time.perf_counter() - t_start < 240.0:
         try:
             dense = measure(
