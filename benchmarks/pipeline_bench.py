@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--profile", default="bucket_detector_workspace")
+    ap.add_argument("--optimize-every", type=int, default=1)
+    ap.add_argument("--warm-start", action="store_true")
+    ap.add_argument("--solver", choices=["", "dense", "pcg"], default="")
     args = ap.parse_args()
 
     if args.cpu:
@@ -42,6 +45,17 @@ def main():
     from semantic_slam_tpu.utils.profiling import Metrics
 
     cfg = PROFILES[args.profile].replace(camera_angle_deg=0.0)
+    import dataclasses
+
+    solver_kw = {}
+    if args.optimize_every > 1:
+        solver_kw["optimize_every_n_ticks"] = args.optimize_every
+    if args.warm_start:
+        solver_kw["warm_start_lambda"] = True
+    if args.solver:
+        solver_kw["linear_solver"] = args.solver
+    if solver_kw:
+        cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
 
     print(f"generating {args.steps}-step session at {args.width}x{args.height}...")
     log = synth_mod.make_synthetic_log(
@@ -65,6 +79,8 @@ def main():
     # warmup compile: feed a few events first
     t0 = time.perf_counter()
     replay_mod.replay(log, engine)
+    if args.optimize_every > 1:
+        engine.finalize()
     wall = time.perf_counter() - t0
 
     n_kf = len(engine.keyframes)

@@ -106,6 +106,8 @@ def cmd_run(args) -> None:
         solver_kw["robust_kernel"] = args.robust
     if args.solver:
         solver_kw["linear_solver"] = args.solver
+    if args.precond != "jacobi":
+        solver_kw["pcg_precond"] = args.precond
     if args.optimize_every > 1:
         solver_kw["optimize_every_n_ticks"] = args.optimize_every
     if solver_kw:
@@ -148,7 +150,8 @@ def cmd_run(args) -> None:
     if cfg.save_graph or args.save_graph:
         from semantic_slam_tpu.io.g2o_io import save_g2o
 
-        save_g2o(os.path.join(args.out, "semantic_graph.g2o"), engine.graph)
+        pn = engine.plane_nodes if cfg.use_plane_landmarks else None
+        save_g2o(os.path.join(args.out, "semantic_graph.g2o"), engine.graph, pn)
 
     if args.checkpoint:
         from semantic_slam_tpu.io.checkpoint import save_checkpoint
@@ -278,6 +281,11 @@ def main(argv=None) -> None:
     pr.add_argument(
         "--solver", choices=["", "dense", "pcg"], default="",
         help="override the linear solver (empty = profile default)",
+    )
+    pr.add_argument(
+        "--precond", choices=["jacobi", "tridiag"], default="jacobi",
+        help="PCG preconditioner (tridiag = odometry-chain block "
+        "tridiagonal via parallel cyclic reduction)",
     )
     pr.add_argument(
         "--optimize-every", type=int, default=1,

@@ -19,7 +19,11 @@ def _upper_triangular(m: np.ndarray) -> list[float]:
     return [float(m[i, j]) for i in range(n) for j in range(i, n)]
 
 
-def save_g2o(path: str, g: GraphState) -> None:
+def save_g2o(path: str, g: GraphState, pn=None) -> None:
+    """Write the graph; pass PlaneNodes as ``pn`` to also emit VERTEX_PLANE /
+    EDGE_SE3_PLANE records (the wire format of the reference's disabled
+    custom edge, edge_se3_plane.hpp:28-47: 4 plane coeffs + upper-tri info;
+    VERTEX_PLANE follows g2o slam3d_addons: coeffs + RGB color)."""
     K = int(g.num_poses)
     L = int(g.num_landmarks)
     poses = np.asarray(g.poses[:K], np.float64)
@@ -58,10 +62,31 @@ def save_g2o(path: str, g: GraphState) -> None:
                 f"EDGE_SE3_TRACKXYZ {lk[e]} {K + ll[e]} 0 "
                 f"{lmeas[e,0]} {lmeas[e,1]} {lmeas[e,2]} {ut}\n"
             )
+        if pn is not None:
+            P = int(pn.num_planes)
+            planes = np.asarray(pn.planes[:P], np.float64)
+            for p in range(P):
+                n = planes[p]
+                f.write(
+                    f"VERTEX_PLANE {K + L + p} {n[0]} {n[1]} {n[2]} {n[3]} 0 0 0\n"
+                )
+            E3 = int(pn.num_pe)
+            pk = np.asarray(pn.pe_k[:E3])
+            pp = np.asarray(pn.pe_p[:E3])
+            pmeas = np.asarray(pn.pe_meas[:E3], np.float64)
+            pinfo = np.asarray(pn.pe_info[:E3], np.float64)
+            for e in range(E3):
+                ut = " ".join(str(v) for v in _upper_triangular(pinfo[e]))
+                m = pmeas[e]
+                f.write(
+                    f"EDGE_SE3_PLANE {pk[e]} {K + L + pp[e]} "
+                    f"{m[0]} {m[1]} {m[2]} {m[3]} {ut}\n"
+                )
 
 
-def load_g2o(path: str, make_graph_fn=None) -> GraphState:
-    """Parse a graph written by save_g2o back into a GraphState."""
+def load_g2o(path: str, make_graph_fn=None, with_planes: bool = False):
+    """Parse a graph written by save_g2o back into a GraphState (and, with
+    ``with_planes=True``, a PlaneNodes alongside)."""
     import jax.numpy as jnp
 
     from semantic_slam_tpu.graph import state as gs
@@ -70,6 +95,9 @@ def load_g2o(path: str, make_graph_fn=None) -> GraphState:
     pose_ids: dict[int, int] = {}
     lm_ids: dict[int, int] = {}
     odom, lme = [], []
+    planes: list[list[float]] = []
+    plane_ids: dict[int, int] = {}
+    pedges = []
 
     def sym_from_ut(vals, n):
         m = np.zeros((n, n))
@@ -104,6 +132,15 @@ def load_g2o(path: str, make_graph_fn=None) -> GraphState:
                 meas = [float(tok[4]), float(tok[5]), float(tok[6])]
                 info = sym_from_ut([float(v) for v in tok[7:13]], 3)
                 lme.append((i, j, meas, info))
+            elif tag == "VERTEX_PLANE":
+                vid = int(tok[1])
+                plane_ids[vid] = len(planes)
+                planes.append([float(t) for t in tok[2:6]])
+            elif tag == "EDGE_SE3_PLANE":
+                i, j = int(tok[1]), int(tok[2])
+                meas = [float(t) for t in tok[3:7]]
+                info = sym_from_ut([float(v) for v in tok[7:13]], 3)
+                pedges.append((i, j, meas, info))
 
     def cap(n):
         c = 16
@@ -138,4 +175,24 @@ def load_g2o(path: str, make_graph_fn=None) -> GraphState:
             lme_info=g.lme_info.at[:E2].set(jnp.asarray([e[3] for e in lme])),
             num_lme=jnp.asarray(E2, jnp.int32),
         )
-    return g
+    if not with_planes:
+        return g
+
+    from semantic_slam_tpu.graph import planes as planes_ext
+
+    P, E3 = len(planes), len(pedges)
+    pn = planes_ext.make_planes(cap(max(P, 1)), cap(max(E3, 1)), dtype=jnp.float64)
+    if P:
+        pn = pn._replace(
+            planes=pn.planes.at[:P].set(jnp.asarray(planes)),
+            num_planes=jnp.asarray(P, jnp.int32),
+        )
+    if E3:
+        pn = pn._replace(
+            pe_k=pn.pe_k.at[:E3].set(jnp.asarray([pose_ids[e[0]] for e in pedges], jnp.int32)),
+            pe_p=pn.pe_p.at[:E3].set(jnp.asarray([plane_ids[e[1]] for e in pedges], jnp.int32)),
+            pe_meas=pn.pe_meas.at[:E3].set(jnp.asarray([e[2] for e in pedges])),
+            pe_info=pn.pe_info.at[:E3].set(jnp.asarray([e[3] for e in pedges])),
+            num_pe=jnp.asarray(E3, jnp.int32),
+        )
+    return g, pn

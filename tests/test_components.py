@@ -297,3 +297,41 @@ class TestCheckpointMirrorsAndOrbax:
         )
         eng2.run()
         assert int(eng2.graph.num_poses) >= int(eng.graph.num_poses)
+
+
+class TestG2oPlaneRoundTrip:
+    def test_plane_vertices_and_edges_round_trip(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.graph import planes as gp
+        from semantic_slam_tpu.io.g2o_io import load_g2o, save_g2o
+        from tests.test_graph_planes import with_plane_observations
+        from tests.test_solver import build_chain_graph
+
+        g, gt_poses, _ = build_chain_graph(rng, noise=0.02)
+        pn = with_plane_observations(
+            rng, g, gt_poses, [[0.0, 1.0, 0.0, -3.0]], noise=0.002
+        )
+        p = str(tmp_path / "g.g2o")
+        save_g2o(p, g, pn)
+        txt = open(p).read()
+        assert "VERTEX_PLANE" in txt and "EDGE_SE3_PLANE" in txt
+
+        g2, pn2 = load_g2o(p, with_planes=True)
+        assert int(pn2.num_planes) == int(pn.num_planes)
+        assert int(pn2.num_pe) == int(pn.num_pe)
+        n = int(pn.num_planes)
+        np.testing.assert_allclose(
+            np.asarray(pn2.planes[:n]), np.asarray(pn.planes[:n]), atol=1e-12
+        )
+        e = int(pn.num_pe)
+        np.testing.assert_allclose(
+            np.asarray(pn2.pe_meas[:e]), np.asarray(pn.pe_meas[:e]), atol=1e-12
+        )
+        np.testing.assert_array_equal(np.asarray(pn2.pe_k[:e]), np.asarray(pn.pe_k[:e]))
+        # point graph unchanged by the plane records
+        np.testing.assert_allclose(
+            np.asarray(g2.poses[: int(g.num_poses)]),
+            np.asarray(g.poses[: int(g.num_poses)]),
+            atol=1e-12,
+        )
