@@ -218,6 +218,12 @@ def cmd_run(args) -> None:
         summary["ate_rmse_vio"] = ate_mod.ate_rmse(vio_t, vio_xyz, gt_t, gt_xyz, align=False)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
+    # per-tick solver timeline (chi2 / iterations / solve seconds / graph
+    # growth) — the structured form of the reference's verbose stdout
+    # (graph_slam.cpp:202-216)
+    with open(os.path.join(args.out, "stats.jsonl"), "w") as f:
+        for s in engine.stats_history:
+            f.write(json.dumps(s) + "\n")
     print(json.dumps(summary, indent=1))
 
 
@@ -235,8 +241,10 @@ def main(argv=None) -> None:
     ps.add_argument("--height", type=int, default=240)
     ps.add_argument("--width", type=int, default=320)
     ps.add_argument(
-        "--scene", choices=["lab", "kitti", "dense_indoor"], default="lab",
-        help="simulated environment (lab loop / KITTI car corridor / dense indoor)",
+        "--scene", choices=["lab", "kitti", "dense_indoor", "corridor"],
+        default="lab",
+        help="simulated environment (lab loop / KITTI car corridor / "
+        "dense indoor / chair+tvmonitor+keyboard hallway)",
     )
     ps.add_argument(
         "--cam-pitch-deg", type=float, default=0.0,

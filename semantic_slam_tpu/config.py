@@ -184,6 +184,10 @@ class SlamConfig:
     save_graph: bool = False
     save_graph_path: str = "semantic_graph.g2o"
     compute_txt_for_ate: bool = False
+    # Elastic recovery (the reference loses ALL state on a crash — SURVEY §5):
+    # checkpoint the full engine every N ingesting ticks (0 = off).
+    autosave_every_n_ticks: int = 0
+    autosave_path: str = "autosave_checkpoint.npz"
     # odometry source selection (semantic_graph_slam_ros.cpp:29-37)
     use_snap_pose: bool = False
     use_rovio_odom: bool = False

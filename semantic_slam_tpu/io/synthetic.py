@@ -97,6 +97,45 @@ def dense_indoor_scene(seed: int = 0) -> list[PlanarObject]:
     return out
 
 
+def corridor_scene(length: float = 10.0, seed: int = 0) -> list[PlanarObject]:
+    """Hallway with chair/tvmonitor/keyboard planes on the walls/furniture
+    (BASELINE config #2: the ROVIO + YOLO corridor sequence's class mix:
+    chair, tvmonitor, keyboard landmarks; ``config/yolo_detector.yaml``)."""
+    rng = np.random.default_rng(seed)
+    specs = [
+        (1, [2.5, -1.4, 1.1], [0, 1, 0], 0.45, 0.35),   # tvmonitor right wall
+        (0, [4.0, 1.2, 0.45], [0, 0, 1], 0.45, 0.45),   # chair seat left
+        (3, [6.0, -1.0, 0.75], [0, 0, 1], 0.35, 0.15),  # keyboard on desk
+        (1, [8.0, 1.4, 1.0], [0, -1, 0], 0.45, 0.35),   # tvmonitor left wall
+        (0, [9.5, -1.2, 0.45], [0, 0, 1], 0.45, 0.45),  # chair seat right
+    ]
+    out = []
+    for cid, c, n, hu, hv in specs:
+        jitter = rng.uniform(-0.08, 0.08, size=3)
+        out.append(
+            PlanarObject(cid, np.asarray(c, float) + jitter, np.asarray(n, float), hu, hv)
+        )
+    return out
+
+
+def out_and_back_trajectory(n: int, length: float = 9.0, z: float = 0.0):
+    """Walk +x down a corridor, U-turn, walk back — re-observes every
+    landmark from the opposite heading (the corridor sequence's loop-closure
+    regime). Flat (roll = pitch = 0) so strict/clean frame chains agree."""
+    half = max(n // 2, 2)
+    out = []
+    for i in range(n):
+        if i < half:
+            s = i / (half - 1)
+            x, yaw = s * length, 0.0
+        else:
+            s = (i - half) / max(n - half - 1, 1)
+            x, yaw = length * (1.0 - s), np.pi
+        q = npg.rpy_to_quat(np.array([0.0, 0.0, yaw]))
+        out.append(np.concatenate([[x, 0.0, z], q]))
+    return np.stack(out)
+
+
 def straight_trajectory(n: int, step: float = 0.4, z: float = 0.0, wiggle: float = 0.02):
     """Forward-driving trajectory along +x with mild yaw wiggle (outdoor)."""
     out = []
@@ -233,12 +272,15 @@ def make_synthetic_log(
             "lab": default_lab_scene,
             "kitti": kitti_scene,
             "dense_indoor": dense_indoor_scene,
+            "corridor": corridor_scene,
         }[scene]()
     fx = 300.0 * W / 320.0  # keep the FOV constant across render sizes
     if scene == "kitti":
         # forward drive through the car corridor; no loop closure, larger
         # graph (the yolo_detector_kitti profile's regime)
         gt = straight_trajectory(n_steps, step=0.12)
+    elif scene == "corridor":
+        gt = out_and_back_trajectory(n_steps)
     else:
         per_loop = max(int(n_steps / max(loops, 1e-9)), 8)
         one = circle_trajectory(per_loop)

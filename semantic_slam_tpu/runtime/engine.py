@@ -1012,6 +1012,11 @@ class SlamEngine:
             }
         )
         self.first_key_added = True
+        n_auto = self.cfg.autosave_every_n_ticks
+        if n_auto > 0 and self._ticks_done % n_auto == 0:
+            from semantic_slam_tpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(self.cfg.autosave_path, self)
         return True
 
     def finalize(self) -> bool:

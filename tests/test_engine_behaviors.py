@@ -203,3 +203,35 @@ class TestBatchedKeyframeIngest:
         assert int(g.num_odom) == 2
         np.testing.assert_array_equal(np.asarray(g.odom_i[:2]), [0, 1])
         np.testing.assert_array_equal(np.asarray(g.odom_j[:2]), [1, 2])
+
+
+class TestAutosave:
+    def test_periodic_autosave_and_recovery(self, tmp_path):
+        """autosave_every_n_ticks writes a full checkpoint the engine can be
+        revived from mid-session (elastic recovery the reference lacks)."""
+        import dataclasses
+
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.io.checkpoint import load_checkpoint
+
+        p = str(tmp_path / "auto.npz")
+        cfg = e2e_config()
+        cfg = dataclasses.replace(cfg, autosave_every_n_ticks=3, autosave_path=p)
+        log = synth_mod.make_synthetic_log(seed=5, n_steps=120, sensor_every=6, H=120, W=160)
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        import os
+
+        assert os.path.exists(p)
+
+        # simulate the crash: fresh engine, restore, keep going
+        eng2 = SlamEngine(e2e_config())
+        load_checkpoint(p, eng2)
+        assert eng2.get_keyframe_poses().shape[0] > 0
+        eng2.vio_callback(100.0, eng2.prev_odom)
+        eng2.vio_callback(
+            101.5, eng2.prev_odom + np.array([1, 0, 0, 0, 0, 0, 0.0])
+        )
+        eng2.run()
+        assert int(eng2.graph.num_poses) >= eng2.get_keyframe_poses().shape[0] - 1

@@ -147,3 +147,49 @@ class TestDenseIndoorScenario:
             closest = obj.center + du[:, None] * ub + dv[:, None] * vb
             dmin = np.minimum(dmin, np.linalg.norm(centers - closest, axis=1))
         assert np.median(dmin) < 0.2
+
+
+class TestCorridorScenario:
+    """BASELINE config #2: ROVIO VIO + YOLO-profile gating (Mahalanobis) over
+    the chair/tvmonitor/keyboard hallway, out-and-back for re-observation."""
+
+    @pytest.fixture(scope="class")
+    def corridor_session(self):
+        log = synth_mod.make_synthetic_log(
+            seed=17, n_steps=360, sensor_every=4, drift_noise=0.006,
+            scene="corridor",
+        )
+        # yolo_detector.yaml regime: Mahalanobis gating fed by marginals
+        cfg = scenario_config()
+        cfg = cfg.replace(
+            association=AssociationConfig(
+                use_maha_dist=True, use_eq_dist=False, maha_dist_thres=9.0,
+                land_noise_low=0.3,
+            )
+        )
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        return log, eng
+
+    def test_multi_class_corridor_landmarks(self, corridor_session):
+        _, eng = corridor_session
+        lms = eng.get_mapped_landmarks()
+        classes = set(int(c) for c in lms["class_id"])
+        # chair(0) + tvmonitor(1) + keyboard(3) all mapped
+        assert {0, 1, 3} <= classes
+        # bounded table: 5 physical objects, tolerate a few duplicates
+        assert len(lms["pose"]) <= 12
+
+    def test_corridor_ate_improves(self, corridor_session):
+        log, eng = corridor_session
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+        kf_t = np.array([k.stamp for k in eng.keyframes])
+        kf_xyz = eng.get_keyframe_poses()[:, :3]
+        vio_t = np.array([t for t, _ in eng.vio_traj])
+        vio_xyz = np.stack([p[:3] for _, p in eng.vio_traj])
+        ate_opt = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
+        ate_vio = ate_mod.ate_rmse(vio_t, vio_xyz, gt_t, gt_xyz, align=False)
+        assert np.isfinite(ate_opt)
+        assert ate_opt < ate_vio
+        assert ate_opt < 0.4
