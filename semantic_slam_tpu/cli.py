@@ -41,6 +41,12 @@ def cmd_synth(args) -> None:
         from semantic_slam_tpu.io.synthetic import clouds_to_depth
 
         log = clouds_to_depth(log)
+        if args.out.endswith(".slog"):
+            sys.exit(
+                "--depth with a .slog output is not supported: the SLOG "
+                "binary schema carries XYZ clouds only (native/slamlog.cpp); "
+                "use an .npz log for depth sessions"
+            )
     if args.out.endswith(".slog"):
         from semantic_slam_tpu import native
 
@@ -165,8 +171,11 @@ def cmd_run(args) -> None:
         from semantic_slam_tpu.core import geometry as geo
         from semantic_slam_tpu.mapping import voxel as vox
 
+        import jax
+
         from semantic_slam_tpu.frontend import depth as depth_mod
 
+        backproject = jax.jit(depth_mod.backproject_depth)
         grid = vox.make_grid()
         insert = (
             vox.insert_keyframe_cloud_carving if args.carve
@@ -176,7 +185,7 @@ def cmd_run(args) -> None:
             if kf.cloud is None or kf.node_idx is None:
                 continue
             if kf.depth_intr is not None:
-                pts, valid = depth_mod.backproject_depth(
+                pts, valid = backproject(
                     jnp.asarray(kf.cloud[0]),
                     jnp.asarray(kf.depth_intr, engine.dtype),
                     jnp.asarray(kf.depth_scale, engine.dtype),

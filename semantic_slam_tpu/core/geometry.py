@@ -151,10 +151,20 @@ def so3_left_jacobian(w: jax.Array) -> jax.Array:
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    small = theta2 < 1e-8
-    A = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32))
+    # cutoff sized for float32: the closed forms divide O(eps) cancellation
+    # by theta^2/theta^3, garbage below theta ~ 5e-2 in f32; the 3-term
+    # Taylor is accurate to ~1e-13 relative at theta = 0.063
+    small = theta2 < 4e-3
+    t4 = theta2 * theta2
+    A = jnp.where(
+        small,
+        0.5 - theta2 / 24.0 + t4 / 720.0,
+        (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-32),
+    )
     B = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-32)
+        small,
+        1.0 / 6.0 - theta2 / 120.0 + t4 / 5040.0,
+        (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-32),
     )
     return eye + A * W + B * W2
 
@@ -165,11 +175,11 @@ def so3_left_jacobian_inv(w: jax.Array) -> jax.Array:
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    small = theta2 < 1e-8
+    small = theta2 < 4e-3
     half_theta = 0.5 * theta
     cot_term = jnp.where(
         small,
-        1.0 / 12.0 + theta2 / 720.0,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
         (1.0 - half_theta * jnp.cos(half_theta) / jnp.maximum(jnp.sin(half_theta), 1e-32))
         / jnp.maximum(theta2, 1e-32),
     )
@@ -187,19 +197,25 @@ def se3_Q_matrix(xi: jax.Array) -> jax.Array:
     WV = W @ V
     VW = V @ W
     WW = W @ W
-    small = theta2 < 1e-8
+    # float32-safe cutoff: the closed forms divide O(eps) cancellation by
+    # theta^4/theta^5 — catastrophic below theta ~ 5e-2 in f32 (and the
+    # default solver dtype IS f32). 3-term Taylor covers the gap.
+    small = theta2 < 4e-3
+    t4 = theta2 * theta2
     s, c = jnp.sin(theta), jnp.cos(theta)
     c1 = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - s) / jnp.maximum(theta2 * theta, 1e-32)
+        small,
+        1.0 / 6.0 - theta2 / 120.0 + t4 / 5040.0,
+        (theta - s) / jnp.maximum(theta2 * theta, 1e-32),
     )
     c2 = jnp.where(
         small,
-        1.0 / 24.0 - theta2 / 720.0,
+        1.0 / 24.0 - theta2 / 720.0 + t4 / 40320.0,
         (theta2 + 2.0 * c - 2.0) / jnp.maximum(2.0 * theta2 * theta2, 1e-32),
     )
     c3 = jnp.where(
         small,
-        1.0 / 120.0 - theta2 / 2520.0,
+        1.0 / 120.0 - theta2 / 2520.0 + t4 / 120960.0,
         (2.0 * theta - 3.0 * s + theta * c) / jnp.maximum(2.0 * theta2 * theta2 * theta, 1e-32),
     )
     return (

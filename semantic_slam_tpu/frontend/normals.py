@@ -147,8 +147,10 @@ def compute_normals_adaptive(
     thr = max_depth_change_factor * jnp.abs(zz) + 0.02
     dz_x = jnp.abs(jnp.diff(zz, axis=1, prepend=zz[:, :1]))
     dz_y = jnp.abs(jnp.diff(zz, axis=0, prepend=zz[:1, :]))
-    vdiff_x = valid != jnp.roll(valid, 1, axis=1)
-    vdiff_y = valid != jnp.roll(valid, 1, axis=0)
+    # edge-replicate like dz above — jnp.roll would wrap border columns/rows
+    # around and compare opposite image borders
+    vdiff_x = valid != jnp.concatenate([valid[:, :1], valid[:, :-1]], axis=1)
+    vdiff_y = valid != jnp.concatenate([valid[:1, :], valid[:-1, :]], axis=0)
     edge = (dz_x > thr) | (dz_y > thr) | vdiff_x | vdiff_y
     ii_e = jnp.cumsum(jnp.cumsum(edge.astype(dtype)[..., None], axis=0), axis=1)
     ii_e = jnp.pad(ii_e, ((1, 0), (1, 0), (0, 0)))

@@ -184,6 +184,7 @@ def lm_optimize_with_planes(
     rel_tol: float = 1e-6,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    init_lambda=0.0,
 ) -> tuple[GraphState, PlaneNodes, lm_mod.LMStats]:
     """Joint LM over poses + point landmarks + plane landmarks (Schur
     elimination of both block types)."""
@@ -207,7 +208,10 @@ def lm_optimize_with_planes(
         jnp.max(jnp.abs(jnp.diagonal(lin0.Hpp))),
         jnp.max(jnp.abs(jnp.diagonal(lin0.Hll, axis1=-2, axis2=-1))),
     )
-    lam0 = (1e-5 * jnp.maximum(diag_max, 1.0)).astype(dtype)
+    init_lambda = jnp.asarray(init_lambda, dtype)
+    lam0 = jnp.where(
+        init_lambda > 0, init_lambda, 1e-5 * jnp.maximum(diag_max, 1.0)
+    ).astype(dtype)
 
     def apply(g_, pn_, dp, db):
         poses = jax.vmap(geo.pose_retract)(g_.poses, dp)

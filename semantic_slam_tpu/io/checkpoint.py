@@ -69,8 +69,6 @@ def save_checkpoint(path: str, engine) -> None:
 
 def load_checkpoint(path: str, engine) -> None:
     """Restore in place into a freshly-constructed engine (same config)."""
-    from semantic_slam_tpu.runtime.engine import KeyframeMeta
-
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z["meta"]))
     dtype = engine.dtype
@@ -118,6 +116,14 @@ def load_checkpoint(path: str, engine) -> None:
     engine.vio_traj = [
         (float(s), p.copy()) for s, p in zip(z["vio_traj_t"], z["vio_traj_p"])
     ]
+    _restore_keyframes_and_gate(engine, meta)
+
+
+def _restore_keyframes_and_gate(engine, meta: dict) -> None:
+    """Shared host-state restore (keyframe metadata, gate, flags) — used by
+    both the npz and orbax loaders so the two backends cannot drift."""
+    from semantic_slam_tpu.runtime.engine import KeyframeMeta
+
     engine.first_key_added = bool(meta["first_key_added"])
     engine.stats_history = meta["stats_history"]
     engine.keyframes = [
@@ -193,6 +199,17 @@ def _engine_host_meta(engine) -> dict:
         "map2odom": engine.map2odom.tolist(),
         "robot_traj": [[s, p.tolist()] for s, p in engine.robot_traj],
         "vio_traj": [[s, p.tolist()] for s, p in engine.vio_traj],
+        # capacities at save time: the engine grows its arrays by doubling,
+        # so a fresh engine's shapes need not match — the loader rebuilds a
+        # template at these sizes before asking orbax to restore
+        "capacities": {
+            "K": engine.graph.poses.shape[0],
+            "L": engine.graph.landmarks.shape[0],
+            "E1": engine.graph.odom_i.shape[0],
+            "E2": engine.graph.lme_k.shape[0],
+            "Pl": engine.plane_nodes.planes.shape[0],
+            "E3": engine.plane_nodes.pe_k.shape[0],
+        },
     }
 
 
@@ -218,20 +235,32 @@ def load_checkpoint_orbax(path: str, engine) -> None:
 
     import orbax.checkpoint as ocp
 
-    from semantic_slam_tpu.runtime.engine import KeyframeMeta
+    import jax.numpy as jnp
+
+    from semantic_slam_tpu.assoc.association import make_table
+    from semantic_slam_tpu.graph.planes import make_planes
+    from semantic_slam_tpu.graph.state import make_graph
 
     path = os.path.abspath(path)
+    with open(os.path.join(path, "host_state.json")) as f:
+        meta = json.load(f)
+
+    # template at SAVED capacities (the session may have outgrown a fresh
+    # engine's initial shapes via grow_graph doubling)
+    caps = meta["capacities"]
+    dtype = engine.dtype
+    template = {
+        "graph": make_graph(caps["K"], caps["L"], caps["E1"], caps["E2"], dtype=dtype),
+        "table": make_table(caps["L"], dtype=dtype),
+        "planes": make_planes(caps["Pl"], caps["E3"], dtype=dtype),
+        "marginals": jnp.tile(jnp.eye(3, dtype=dtype), (caps["L"], 1, 1)),
+    }
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.join(path, "device_state"), _engine_pytree(engine)
-    )
+    restored = ckptr.restore(os.path.join(path, "device_state"), template)
     engine.graph = restored["graph"]
     engine.table = restored["table"]
     engine.plane_nodes = restored["planes"]
     engine.marginals = restored["marginals"]
-
-    with open(os.path.join(path, "host_state.json")) as f:
-        meta = json.load(f)
     engine.robot_pose = np.asarray(meta["robot_pose"], np.float64)
     engine.vio_pose = np.asarray(meta["vio_pose"], np.float64)
     engine.prev_odom = np.asarray(meta["prev_odom"], np.float64)
@@ -242,25 +271,4 @@ def load_checkpoint_orbax(path: str, engine) -> None:
     engine.vio_traj = [
         (float(s), np.asarray(p, np.float64)) for s, p in meta["vio_traj"]
     ]
-    engine.first_key_added = bool(meta["first_key_added"])
-    engine.stats_history = meta["stats_history"]
-    engine.keyframes = [
-        KeyframeMeta(
-            stamp=k["stamp"],
-            odom=np.asarray(k["odom"]),
-            robot_pose=np.asarray(k["robot_pose"]),
-            accum_distance=k["accum_distance"],
-            cloud=None,
-            boxes=None,
-            class_ids=None,
-            probs=None,
-            node_idx=k["node_idx"],
-        )
-        for k in meta["keyframes"]
-    ]
-    gate = meta["gate"]
-    engine.gate.is_first = bool(gate["is_first"])
-    engine.gate.accum_distance = float(gate["accum_distance"])
-    engine.gate.prev_keypose = np.asarray(gate["prev_keypose"])
-    engine.gate.prev_time = float(gate["prev_time"])
-    _restore_count_mirrors(engine)
+    _restore_keyframes_and_gate(engine, meta)

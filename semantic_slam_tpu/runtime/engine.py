@@ -567,6 +567,7 @@ def _optimize_tick_planes(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     do_opt=True,
+    init_lambda=0.0,
 ):
     """Planar-patch tick: joint pose+point+plane Schur LM (dense Cholesky or
     matrix-free PCG per ``linear_solver``), then the same marginal recovery +
@@ -582,13 +583,14 @@ def _optimize_tick_planes(
                 graph, pn, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, max_cg_iters=pcg_iters,
                 robust_kind=robust_kind, robust_delta=robust_delta,
-                precond_kind=pcg_precond,
+                precond_kind=pcg_precond, init_lambda=init_lambda,
             )
         else:
             graph, pn, stats = planes_ext.lm_optimize_with_planes(
                 graph, pn, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol,
                 robust_kind=robust_kind, robust_delta=robust_delta,
+                init_lambda=init_lambda,
             )
         ran = (stats.iterations > 0) & (table.count > 0)
         marg = lm_mod.landmark_marginals(graph)
@@ -870,6 +872,7 @@ class SlamEngine:
                 robust_kind=self.cfg.solver.robust_kernel,
                 robust_delta=self.cfg.solver.robust_delta,
                 do_opt=do_opt,
+                init_lambda=init_lam,
             )
         elif len(batch) == 1:
             # common case: the whole tick (keyframe + frontend + association
@@ -987,7 +990,9 @@ class SlamEngine:
             est = info[8:15]
             self.robot_pose = est.copy()
             self.map2odom = _np_pose_mul(est, _np_pose_inv(last.odom))
-            self._last_lambda = float(info[3])
+            # clamp: a stalled tick exits with lambda > 1e12, which would
+            # otherwise poison dozens of subsequent warm-started solves
+            self._last_lambda = min(float(info[3]), 1e6)
 
         from semantic_slam_tpu.utils.profiling import log_optimize
 

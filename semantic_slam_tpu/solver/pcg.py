@@ -513,6 +513,7 @@ def run_lm_loop_pcg_planes(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     precond_kind: str = "jacobi",
+    init_lambda=0.0,
 ):
     """Nielsen-damped LM over poses + point landmarks + plane landmarks with
     the matrix-free PCG inner solver (scaling-path analog of
@@ -546,7 +547,10 @@ def run_lm_loop_pcg_planes(
         jnp.max(jnp.abs(jnp.diagonal(eb0.diag, axis1=-2, axis2=-1))),
         jnp.max(jnp.abs(jnp.diagonal(eb0.Hll, axis1=-2, axis2=-1))),
     )
-    lam0 = (init_lambda_tau * jnp.maximum(diag_max, 1.0)).astype(dtype)
+    init_lambda = jnp.asarray(init_lambda, dtype)
+    lam0 = jnp.where(
+        init_lambda > 0, init_lambda, init_lambda_tau * jnp.maximum(diag_max, 1.0)
+    ).astype(dtype)
 
     def retract_all(p, l, pl, dp, db):
         p2 = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
@@ -614,6 +618,7 @@ def lm_optimize_pcg_planes(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     precond_kind: str = "jacobi",
+    init_lambda=0.0,
 ):
     """Single-chip matrix-free planar-patch LM (drop-in for
     ``graph/planes.lm_optimize_with_planes`` on the scaling path)."""
@@ -624,7 +629,7 @@ def lm_optimize_pcg_planes(
         pose_free, lm_free, pn.plane_mask(), lambda x: x,
         max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
-        precond_kind=precond_kind,
+        precond_kind=precond_kind, init_lambda=init_lambda,
     )
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(
@@ -643,7 +648,10 @@ def lm_optimize_pcg_planes(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis_name", "max_iterations", "min_edges", "rel_tol", "max_cg_iters"),
+    static_argnames=(
+        "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
+        "max_cg_iters", "precond_kind",
+    ),
 )
 def sharded_lm_optimize_pcg_planes(
     g: GraphState,
@@ -654,6 +662,7 @@ def sharded_lm_optimize_pcg_planes(
     min_edges: int = 10,
     rel_tol: float = 1e-6,
     max_cg_iters: int = 128,
+    precond_kind: str = "jacobi",
 ):
     """Edge-sharded planar-patch LM: odometry, point-observation AND plane
     edges all sharded over the mesh; node arrays replicated; psum traffic per
@@ -676,6 +685,7 @@ def sharded_lm_optimize_pcg_planes(
             poses, landmarks, planes, edges, pargs, pose_free, lm_free,
             plane_free, lambda x: jax.lax.psum(x, axis_name),
             max_iterations, rel_tol, max_cg_iters,
+            precond_kind=precond_kind,
         )
 
     sharded = jax.shard_map(

@@ -335,3 +335,49 @@ class TestG2oPlaneRoundTrip:
             np.asarray(g.poses[: int(g.num_poses)]),
             atol=1e-12,
         )
+
+
+class TestOrbaxGrownCapacities:
+    def test_restore_after_graph_growth(self, tmp_path):
+        """Orbax restore must work when the saved session outgrew a fresh
+        engine's capacities (grow_graph doubling mid-run)."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_e2e import e2e_config
+
+        from semantic_slam_tpu.graph import state as gs
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.io.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+        from semantic_slam_tpu.runtime.engine import (
+            SlamEngine,
+            _grow_planes,
+            _grow_table,
+        )
+        import jax.numpy as jnp
+
+        log = synth_mod.make_synthetic_log(seed=5, n_steps=120, sensor_every=6, H=120, W=160)
+        eng = SlamEngine(e2e_config())
+        replay_mod.replay(log, eng)
+        # force a capacity doubling past the fresh-engine shapes
+        eng.graph = gs.grow_graph(eng.graph)
+        eng.table = _grow_table(eng.table)
+        eng.plane_nodes = _grow_planes(eng.plane_nodes)
+        eng.marginals = jnp.tile(
+            jnp.eye(3, dtype=eng.dtype), (eng.graph.landmarks.shape[0], 1, 1)
+        )
+
+        p = str(tmp_path / "grown")
+        save_checkpoint_orbax(p, eng)
+        eng2 = SlamEngine(e2e_config())
+        assert eng2.graph.poses.shape[0] < eng.graph.poses.shape[0]
+        load_checkpoint_orbax(p, eng2)
+        assert eng2.graph.poses.shape[0] == eng.graph.poses.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(eng2.graph.poses), np.asarray(eng.graph.poses)
+        )
+        assert eng2._n_poses == int(eng.graph.num_poses)

@@ -42,19 +42,9 @@ class TestBackprojection:
         np.testing.assert_allclose(np.asarray(pts)[~np.asarray(valid)], 0.0)
 
 
-def _clouds_to_depth(log, W=320):
-    """Convert a synthetic log's CloudEvents to u16 DepthEvents in place."""
-    H = log.clouds[0].points.shape[0]
-    Wc = log.clouds[0].points.shape[1]
-    fx = 300.0 * Wc / 320.0  # make_synthetic_log's intrinsics
-    intr = np.array([fx, fx, Wc / 2, H / 2], np.float64)
-    for e in log.clouds:
-        z = e.points[..., 2]
-        ok = e.valid & (z > 0)
-        d = np.where(ok, np.clip(np.round(z / 1e-3), 1, 65535), 0).astype(np.uint16)
-        log.depths.append(replay_mod.DepthEvent(e.t, d, intr, 1e-3))
-    log.clouds = []
-    return log
+# the library transform the CLI's --depth flag uses — the equivalence test
+# below must validate THAT path, not a private re-implementation
+_clouds_to_depth = synth_mod.clouds_to_depth
 
 
 class TestDepthModeEngine:

@@ -245,3 +245,30 @@ class TestConvergence:
         err_after = float(jnp.linalg.norm(g2.poses[7, :3] - gt[7, :3]))
         assert float(stats.chi2_final) < float(stats.chi2_initial)
         assert err_after < err_before
+
+
+class TestFloat32SmallAngleJacobians:
+    def test_analytic_jacobian_f32_matches_f64_in_cancellation_zone(self, rng):
+        """The closed-form Q-matrix coefficients divide O(eps) cancellation by
+        theta^4/theta^5 — deadly in float32 for theta in [1e-4, 3e-2], the
+        near-convergence regime of the DEFAULT f32 solver. The raised Taylor
+        cutoff must keep the f32 analytic Jacobians within f32 accuracy of
+        the f64 AD reference across that zone."""
+        for theta in (1e-4, 3e-4, 1e-3, 3e-3, 1e-2, 3e-2, 6e-2, 0.1):
+            xi = rng.normal(size=6)
+            xi = xi / np.linalg.norm(xi) * theta
+            pi64 = geo.pose_retract(geo.pose_identity(jnp.float64), jnp.asarray(rng.normal(size=6), jnp.float64))
+            pj64 = geo.pose_retract(pi64, jnp.asarray(xi, jnp.float64))
+            meas64 = geo.pose_retract(
+                geo.pose_mul(geo.pose_inv(pi64), pj64),
+                jnp.asarray(xi * 0.3, jnp.float64),
+            )
+            r64, Ji64, Jj64 = res.se3_edge_residual_jac_ad(pi64, pj64, meas64)
+
+            pi32 = pi64.astype(jnp.float32)
+            pj32 = pj64.astype(jnp.float32)
+            meas32 = meas64.astype(jnp.float32)
+            r32, Ji32, Jj32 = res.se3_edge_residual_jac(pi32, pj32, meas32)
+            # Jacobian entries are O(1); demand ~f32-roundoff-level agreement
+            np.testing.assert_allclose(np.asarray(Ji32), np.asarray(Ji64), atol=5e-4)
+            np.testing.assert_allclose(np.asarray(Jj32), np.asarray(Jj64), atol=5e-4)
