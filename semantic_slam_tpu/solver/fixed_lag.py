@@ -1,0 +1,415 @@
+"""Fixed-lag smoothing: Schur marginalization of old keyframes into a prior.
+
+The reference has NO mitigation for graph growth: every tick re-optimizes the
+FULL history (``/root/reference/src/ps_graph_slam/semantic_graph_slam.cpp:76-95``,
+``graph_slam.cpp:199-205``), so cost/iter grows superlinearly with trajectory
+length (SURVEY.md §5 "long-context"). This module bounds it: when the active
+window exceeds a configured lag, the oldest ``drop`` keyframes are
+marginalized out exactly (Schur complement over the pose chain) and the graph
+arrays are compacted in place — per-tick solve cost becomes O(window), not
+O(history).
+
+Marginalization scheme (documented approximations):
+
+* **Pose chain — exact.** All odometry edges touching a dropped pose (plus
+  the previous prior's pose part, re-linearized at the current estimates) are
+  assembled into a dense block system over dropped poses M and the boundary
+  poses B; M is Schur-eliminated:  ``H' = H_BB - H_BM H_MM^-1 H_MB``. The
+  result is a dense Gaussian prior over the (few) boundary poses in local
+  SE(3) coordinates around their current estimates.
+* **Landmark observations — cross-term sparsified.** An observation edge
+  from a dropped pose splits into (a) a world-frame unary landmark prior
+  (``H_l += J_l^T O J_l``) and (b) the pose-side diagonal block + gradient
+  (``J_p^T O J_p``, ``J_p^T O r``), which joins the pose marginalization.
+  Only the pose-landmark CROSS block ``J_p^T O J_l`` is dropped — keeping
+  both marginal pieces leaves the eliminated gradient stationary at a
+  converged estimate (the prior is unbiased there) and keeps the landmark
+  part block-diagonal, exactly the shape the Schur landmark elimination
+  consumes. Dropping the off-diagonal of a PSD block keeps PSD-ness; the
+  cost is optimism in the joint covariance (standard sparsification).
+  Landmarks are NEVER removed: ids == graph indices stays invariant and
+  association keeps matching against the full table.
+
+The prior is a quadratic in local coordinates: for boundary poses
+``e_p = log(ref^-1 x)`` and landmarks ``e_l = l - l_ref``,
+
+  chi2_prior(x) = c0 + 2 g0.e + e^T H e
+
+whose gradient/Hessian (with the usual J ~= I first-order prior
+approximation) drop straight into ``Linearization``; ``run_lm_loop`` is
+reused untouched.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from semantic_slam_tpu.core import geometry as geo
+from semantic_slam_tpu.graph import residuals as res
+from semantic_slam_tpu.graph.state import GraphState
+from semantic_slam_tpu.solver import lm as lm_mod
+from semantic_slam_tpu.solver.lm import Linearization, LMStats
+
+
+class MarginalPrior(NamedTuple):
+    """Gaussian prior produced by marginalization.
+
+    Pose part: dense information over up to PB boundary poses (local SE(3)
+    coords around ``p_ref``). Landmark part: independent 3x3 blocks over the
+    FULL landmark capacity (world-position coords around ``l_ref``) — zero
+    blocks mean "no prior". Slots >= num_p are all-zero by invariant.
+    """
+
+    p_idx: jax.Array  # [PB] i32 — graph pose indices
+    p_ref: jax.Array  # [PB, 7] linearization poses
+    num_p: jax.Array  # i32 scalar
+    Hp: jax.Array  # [6PB, 6PB] dense pose information
+    gp0: jax.Array  # [6PB] gradient at p_ref
+    Hl: jax.Array  # [L, 3, 3] per-landmark information
+    l_ref: jax.Array  # [L, 3]
+    gl0: jax.Array  # [L, 3]
+    c0: jax.Array  # scalar chi2 offset
+
+    @property
+    def max_poses(self) -> int:
+        return self.p_idx.shape[0]
+
+    def is_empty(self) -> jax.Array:
+        return (self.num_p == 0) & (jnp.sum(jnp.abs(self.Hl)) == 0)
+
+
+def empty_prior(L: int, PB: int = 8, dtype=jnp.float32) -> MarginalPrior:
+    return MarginalPrior(
+        p_idx=jnp.zeros((PB,), jnp.int32),
+        p_ref=jnp.tile(geo.pose_identity(dtype), (PB, 1)),
+        num_p=jnp.zeros((), jnp.int32),
+        Hp=jnp.zeros((6 * PB, 6 * PB), dtype),
+        gp0=jnp.zeros((6 * PB,), dtype),
+        Hl=jnp.zeros((L, 3, 3), dtype),
+        l_ref=jnp.zeros((L, 3), dtype),
+        gl0=jnp.zeros((L, 3), dtype),
+        c0=jnp.zeros((), dtype),
+    )
+
+
+def _pose_local(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """e = log(ref^-1 x), the inverse of pose_retract(ref, e)."""
+    return geo.se3_log(geo.pose_mul(geo.pose_inv(ref), x))
+
+
+def _prior_coords(prior: MarginalPrior, poses, landmarks):
+    e_p = jax.vmap(_pose_local)(poses[prior.p_idx], prior.p_ref)  # [PB, 6]
+    e_l = landmarks - prior.l_ref  # [L, 3]
+    return e_p.reshape(-1), e_l
+
+
+def prior_chi2(prior: MarginalPrior, poses, landmarks) -> jax.Array:
+    """The prior factor's value at (poses, landmarks)."""
+    ep, el = _prior_coords(prior, poses, landmarks)
+    pose_part = 2.0 * jnp.dot(prior.gp0, ep) + ep @ (prior.Hp @ ep)
+    Hl_el = jnp.einsum("lij,lj->li", prior.Hl, el)
+    lm_part = 2.0 * jnp.sum(prior.gl0 * el) + jnp.sum(el * Hl_el)
+    return prior.c0 + pose_part + lm_part
+
+
+def apply_prior(
+    lin: Linearization, prior: MarginalPrior, poses, landmarks
+) -> Linearization:
+    """Add the prior's gradient/Hessian blocks into a dense Linearization."""
+    dtype = lin.Hpp.dtype
+    PB = prior.max_poses
+    ep, el = _prior_coords(prior, poses, landmarks)
+    ep = ep.astype(dtype)
+    el = el.astype(dtype)
+
+    r6 = (6 * prior.p_idx[:, None] + jnp.arange(6)[None, :]).reshape(-1)  # [6PB]
+    Hpp = lin.Hpp.at[r6[:, None], r6[None, :]].add(prior.Hp)
+    gp = lin.gp.at[r6].add(prior.gp0 + prior.Hp @ ep)
+
+    Hll = lin.Hll + prior.Hl
+    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
+    gl = lin.gl + gl_add.reshape(-1)
+
+    chi2 = lin.chi2 + prior_chi2(prior, poses, landmarks)
+    return Linearization(Hpp, lin.W, Hll, gp, gl, chi2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "min_edges", "rel_tol", "robust_kind", "robust_delta"),
+)
+def lm_optimize_prior(
+    g: GraphState,
+    prior: MarginalPrior,
+    max_iterations: int = 64,
+    min_edges: int = 10,
+    rel_tol: float = 1e-6,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+    init_lambda=0.0,
+) -> tuple[GraphState, LMStats]:
+    """Dense Schur LM over the active window + marginal prior
+    (``lm_optimize`` with the prior factor folded into every linearization)."""
+    pose_free, lm_free = lm_mod._free_masks(g)
+    edges = lm_mod._edge_args(g)
+
+    def lin_fn(p, l):
+        lin = lm_mod.linearize_arrays(
+            p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta
+        )
+        return apply_prior(lin, prior, p, l)
+
+    def chi2_fn(p, l):
+        base = lm_mod.chi2_arrays(
+            p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta
+        )
+        return base + prior_chi2(prior, p, l)
+
+    poses, landmarks, stats = lm_mod.run_lm_loop(
+        g.poses, g.landmarks, lin_fn, chi2_fn, pose_free, lm_free,
+        max_iterations, rel_tol, init_lambda=init_lambda,
+    )
+    run = g.num_edges() >= min_edges
+    g = g._replace(
+        poses=jnp.where(run, poses, g.poses),
+        landmarks=jnp.where(run, landmarks, g.landmarks),
+    )
+    stats = LMStats(
+        iterations=jnp.where(run, stats.iterations, 0),
+        chi2_initial=stats.chi2_initial,
+        chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
+        lambda_final=stats.lambda_final,
+    )
+    return g, stats
+
+
+@jax.jit
+def landmark_marginals_prior(g: GraphState, prior: MarginalPrior) -> jax.Array:
+    """``landmark_marginals`` with the prior information included (the
+    Mahalanobis gate consumes these in fixed-lag mode)."""
+    pose_free, lm_free = lm_mod._free_masks(g)
+    lin = apply_prior(lm_mod.linearize(g), prior, g.poses, g.landmarks)
+    K6 = lin.Hpp.shape[0]
+    L = lin.Hll.shape[0]
+    dtype = lin.Hpp.dtype
+
+    pm = jnp.repeat(pose_free.astype(dtype), 6)
+    lmm = lm_free.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    A = lin.Hll * lmm[:, None, None] + eye3[None] * (1.0 - lmm)[:, None, None]
+    Ainv = lm_mod.inv33(A + 1e-8 * eye3[None])
+
+    W = lin.W * pm[:, None]
+    W = (W.reshape(K6, L, 3) * lmm[None, :, None]).reshape(K6, 3 * L)
+    WA = jnp.einsum("kld,lde->kle", W.reshape(K6, L, 3), Ainv).reshape(K6, 3 * L)
+    Hred = lin.Hpp - WA @ W.T
+    Hred = Hred * (pm[:, None] * pm[None, :]) + jnp.diag(1.0 - pm)
+
+    c, low = jax.scipy.linalg.cho_factor(Hred)
+    Y = jax.scipy.linalg.cho_solve((c, low), WA)
+    corr = jnp.einsum("kld,kle->lde", WA.reshape(K6, L, 3), Y.reshape(K6, L, 3))
+    sigma = Ainv + corr
+    return sigma * lmm[:, None, None] + eye3[None] * (1.0 - lmm)[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# Marginalization + compaction
+# ---------------------------------------------------------------------------
+
+
+def _stable_partition(keep: jax.Array) -> jax.Array:
+    """Permutation putting kept slots first, original order preserved."""
+    n = keep.shape[0]
+    idx = jnp.arange(n)
+    keys = jnp.where(keep, idx, n + idx)
+    return jnp.argsort(keys)
+
+
+@partial(jax.jit, static_argnames=("drop",))
+def marginalize(
+    g: GraphState, prior: MarginalPrior, drop: int
+) -> tuple[GraphState, MarginalPrior, jax.Array]:
+    """Marginalize the oldest ``drop`` keyframes; compact the graph.
+
+    Returns ``(graph', prior', num_boundary)``. ``num_boundary`` is the
+    number of boundary poses the new prior needed; the caller must verify
+    ``num_boundary <= prior.max_poses`` (host-side; overflow would silently
+    truncate — with chain odometry the boundary is 1-2 poses, so the default
+    capacity of 8 is generous).
+
+    The caller guarantees ``drop < num_poses``. All dropped poses' odometry
+    edges (and the old prior's pose part, re-linearized at the current
+    estimates) are Schur-eliminated into a dense boundary-pose prior; dropped
+    poses' observation edges become anchored unary landmark priors; edge
+    arrays are compacted in place (capacities unchanged — one compile per
+    bucket, reused every marginalization).
+    """
+    K = g.poses.shape[0]
+    L = g.landmarks.shape[0]
+    PB = prior.max_poses
+    dtype = g.poses.dtype
+    poses, landmarks = g.poses, g.landmarks
+
+    # ---- edge partitions -------------------------------------------------
+    act_o = g.odom_mask()
+    act_e = g.lme_mask()
+    drop_o = act_o & ((g.odom_i < drop) | (g.odom_j < drop))
+    drop_e = act_e & (g.lme_k < drop)
+
+    # ---- anchored landmark priors from dropped observation edges ---------
+    sel_e = drop_e.astype(dtype)
+    e_info = g.lme_info * sel_e[:, None, None]
+    r_l, Jp, Jl = jax.vmap(res.se3_point_residual_jac)(
+        poses[g.lme_k], landmarks[g.lme_l], g.lme_meas
+    )
+    JlT_O = jnp.einsum("eai,eab->eib", Jl, e_info)
+    Hl_add = jnp.zeros((L, 3, 3), dtype).at[g.lme_l].add(
+        jnp.einsum("eia,eaj->eij", JlT_O, Jl)
+    )
+    gl_add = jnp.zeros((L, 3), dtype).at[g.lme_l].add(
+        jnp.einsum("eia,ea->ei", JlT_O, r_l)
+    )
+    c_anchor = jnp.einsum("ea,eab,eb->", r_l, e_info, r_l)
+
+    # ---- re-center the old prior's landmark part to current estimates ----
+    d_l = (landmarks - prior.l_ref).astype(dtype)
+    Hl_dl = jnp.einsum("lij,lj->li", prior.Hl, d_l)
+    lchi = 2.0 * jnp.sum(prior.gl0 * d_l) + jnp.sum(d_l * Hl_dl)
+    gl0_new = prior.gl0 + Hl_dl + gl_add
+    Hl_new = prior.Hl + Hl_add
+
+    # ---- dense pose-chain system from dropped odometry edges -------------
+    sel_o = drop_o.astype(dtype)
+    o_info = g.odom_info * sel_o[:, None, None]
+    r_o, Ji, Jj = jax.vmap(res.se3_edge_residual_jac)(
+        poses[g.odom_i], poses[g.odom_j], g.odom_meas
+    )
+    JiT_O = jnp.einsum("eai,eab->eib", Ji, o_info)
+    JjT_O = jnp.einsum("eai,eab->eib", Jj, o_info)
+    Hf = jnp.zeros((K, K, 6, 6), dtype)
+    Hf = Hf.at[g.odom_i, g.odom_i].add(jnp.einsum("eia,eaj->eij", JiT_O, Ji))
+    Hf = Hf.at[g.odom_i, g.odom_j].add(jnp.einsum("eia,eaj->eij", JiT_O, Jj))
+    Hf = Hf.at[g.odom_j, g.odom_i].add(
+        jnp.swapaxes(jnp.einsum("eia,eaj->eij", JiT_O, Jj), -1, -2)
+    )
+    Hf = Hf.at[g.odom_j, g.odom_j].add(jnp.einsum("eia,eaj->eij", JjT_O, Jj))
+    gf = jnp.zeros((K, 6), dtype)
+    gf = gf.at[g.odom_i].add(jnp.einsum("eia,ea->ei", JiT_O, r_o))
+    gf = gf.at[g.odom_j].add(jnp.einsum("eia,ea->ei", JjT_O, r_o))
+    c_odom = jnp.einsum("ea,eab,eb->", r_o, o_info, r_o)
+
+    # pose-side blocks of the dropped observation edges (cross term to the
+    # landmark dropped — see module docstring): without these the eliminated
+    # gradient is non-stationary even at a converged estimate
+    JpT_O = jnp.einsum("eai,eab->eib", Jp, e_info)
+    Hf = Hf.at[g.lme_k, g.lme_k].add(jnp.einsum("eia,eaj->eij", JpT_O, Jp))
+    gf = gf.at[g.lme_k].add(jnp.einsum("eia,ea->ei", JpT_O, r_l))
+
+    # fold the old prior's pose part, linearized at the current poses
+    ep_old = jax.vmap(_pose_local)(poses[prior.p_idx], prior.p_ref).reshape(-1)
+    ep_old = ep_old.astype(dtype)
+    pchi = 2.0 * jnp.dot(prior.gp0, ep_old) + ep_old @ (prior.Hp @ ep_old)
+    gp_fold = (prior.gp0 + prior.Hp @ ep_old).reshape(PB, 6)
+    Hp_fold = (
+        prior.Hp.reshape(PB, 6, PB, 6).transpose(0, 2, 1, 3)
+    )  # [PB, PB, 6, 6]
+    Hf = Hf.at[prior.p_idx[:, None], prior.p_idx[None, :]].add(Hp_fold)
+    gf = gf.at[prior.p_idx].add(gp_fold)
+
+    # gauge: pose 0 is fixed — it is a constant, not a variable
+    free = (jnp.arange(K) != 0).astype(dtype)
+    Hf = Hf * free[:, None, None, None] * free[None, :, None, None]
+    gf = gf * free[:, None]
+
+    # ---- boundary selection ----------------------------------------------
+    inv = jnp.zeros((K,), bool)
+    inv = inv.at[g.odom_i].max(drop_o & (g.odom_i >= drop))
+    inv = inv.at[g.odom_j].max(drop_o & (g.odom_j >= drop))
+    inv = inv.at[prior.p_idx].max(
+        (jnp.arange(PB) < prior.num_p) & (prior.p_idx >= drop)
+    )
+    num_b = jnp.sum(inv.astype(jnp.int32))
+    order = jnp.argsort(jnp.where(inv, jnp.arange(K), K + jnp.arange(K)))
+    b_idx = order[:PB]  # involved poses first, ascending index
+    b_act = (jnp.arange(PB) < jnp.minimum(num_b, PB)).astype(dtype)
+
+    # ---- Schur-eliminate the dropped poses -------------------------------
+    def blocks_to_mat(B4):  # [m, n, 6, 6] -> [6m, 6n]
+        m, n = B4.shape[0], B4.shape[1]
+        return B4.transpose(0, 2, 1, 3).reshape(6 * m, 6 * n)
+
+    H_MM = blocks_to_mat(Hf[:drop, :drop])
+    H_MB = blocks_to_mat(Hf[:drop][:, b_idx])
+    H_BB = blocks_to_mat(Hf[b_idx][:, b_idx])
+    g_M = gf[:drop].reshape(-1)
+    g_B = gf[b_idx].reshape(-1)
+
+    # regularize: identity on empty diagonal blocks (pose 0 / disconnected),
+    # tiny ridge elsewhere
+    dvec = jnp.diagonal(H_MM)
+    bnorm = jnp.sum(jnp.abs(dvec.reshape(drop, 6)), axis=1)
+    fix = (bnorm < 1e-8).astype(dtype)
+    H_MM = H_MM + jnp.diag(jnp.repeat(fix, 6))
+    ridge = 1e-6 * jnp.maximum(jnp.max(dvec), 1.0)
+    H_MM = H_MM + ridge * jnp.eye(6 * drop, dtype=dtype)
+
+    c, low = jax.scipy.linalg.cho_factor(H_MM)
+    X = jax.scipy.linalg.cho_solve((c, low), jnp.concatenate([H_MB, g_M[:, None]], axis=1))
+    Hinv_HMB, Hinv_gM = X[:, :-1], X[:, -1]
+    Hp_new = H_BB - H_MB.T @ Hinv_HMB
+    gp_new = g_B - H_MB.T @ Hinv_gM
+    c_pose = c_odom + prior.c0 + pchi - jnp.dot(g_M, Hinv_gM)
+
+    bmask6 = jnp.repeat(b_act, 6)
+    Hp_new = Hp_new * (bmask6[:, None] * bmask6[None, :])
+    gp_new = gp_new * bmask6
+    # symmetrize (cho_solve round-off)
+    Hp_new = 0.5 * (Hp_new + Hp_new.T)
+
+    prior_new = MarginalPrior(
+        p_idx=jnp.where(b_act.astype(bool), b_idx - drop, 0).astype(jnp.int32),
+        p_ref=jnp.where(
+            b_act[:, None].astype(bool),
+            poses[b_idx],
+            jnp.tile(geo.pose_identity(dtype), (PB, 1)),
+        ),
+        num_p=jnp.minimum(num_b, PB),
+        Hp=Hp_new,
+        gp0=gp_new,
+        Hl=Hl_new,
+        l_ref=landmarks,
+        gl0=gl0_new,
+        c0=c_pose + lchi + c_anchor,
+    )
+
+    # ---- compaction ------------------------------------------------------
+    ident = jnp.tile(geo.pose_identity(dtype), (drop, 1))
+    poses2 = jnp.concatenate([poses[drop:], ident], axis=0)
+
+    keep_o = act_o & ~drop_o
+    po = _stable_partition(keep_o)
+    sub = lambda a: jnp.clip(a - drop, 0, K - 1)
+    g2 = g._replace(
+        poses=poses2,
+        num_poses=g.num_poses - drop,
+        odom_i=sub(g.odom_i[po]),
+        odom_j=sub(g.odom_j[po]),
+        odom_meas=g.odom_meas[po],
+        odom_info=g.odom_info[po],
+        num_odom=jnp.sum(keep_o.astype(jnp.int32)),
+    )
+    keep_e = act_e & ~drop_e
+    pe = _stable_partition(keep_e)
+    g2 = g2._replace(
+        lme_k=sub(g.lme_k[pe]),
+        lme_l=g.lme_l[pe],
+        lme_meas=g.lme_meas[pe],
+        lme_info=g.lme_info[pe],
+        num_lme=jnp.sum(keep_e.astype(jnp.int32)),
+    )
+    return g2, prior_new, num_b
