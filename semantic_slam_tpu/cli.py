@@ -116,6 +116,9 @@ def cmd_run(args) -> None:
         solver_kw["pcg_precond"] = args.precond
     if args.optimize_every > 1:
         solver_kw["optimize_every_n_ticks"] = args.optimize_every
+    if args.fixed_lag > 0:
+        solver_kw["fixed_lag_window"] = args.fixed_lag
+        solver_kw["linear_solver"] = "dense"
     if solver_kw:
         cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     if args.adaptive_normals:
@@ -193,8 +196,10 @@ def cmd_run(args) -> None:
             else:
                 pts = jnp.asarray(kf.cloud[0], engine.dtype)
                 valid = kf.cloud[1]
-            est = engine.graph.poses[kf.node_idx]
-            xyzrpy = geo.pose_to_xyzrpy(est)
+            est7 = engine.get_keyframe_pose(kf)  # archive-aware (fixed-lag)
+            if est7 is None:
+                continue
+            xyzrpy = geo.pose_to_xyzrpy(jnp.asarray(est7, engine.dtype))
             grid = insert(
                 grid, pts, valid, xyzrpy,
                 jnp.asarray(cfg.camera_angle_rad, engine.dtype),
@@ -308,6 +313,11 @@ def main(argv=None) -> None:
         "--optimize-every", type=int, default=1,
         help="run the LM solve every Nth tick (1 = reference every-tick); "
         "a finalize pass always runs at the end",
+    )
+    pr.add_argument(
+        "--fixed-lag", type=int, default=0,
+        help="fixed-lag smoothing window: marginalize keyframes beyond the "
+        "last N into a prior (0 = reference full-history behavior)",
     )
     pr.add_argument(
         "--adaptive-normals", action="store_true",

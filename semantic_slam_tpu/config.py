@@ -137,6 +137,16 @@ class SolverConfig:
     # ingest keyframes/landmarks; robot_pose keeps dead-reckoning off the last
     # optimized estimate until the next solve.
     optimize_every_n_ticks: int = 1
+    # Fixed-lag smoothing (DIVERGENCE — the reference re-optimizes the FULL
+    # history forever): keep at most ~window active keyframes; once the count
+    # reaches window+chunk, the oldest `chunk` keyframes are Schur-
+    # marginalized into a prior (solver/fixed_lag.py) and the graph compacts
+    # in place. 0 = off (reference behavior). Landmarks are never removed.
+    # Currently dense-solver, point-landmark mode only.
+    fixed_lag_window: int = 0
+    # marginalization chunk (0 = auto: max(8, window // 4)); a fixed chunk
+    # keeps marginalization a single compiled program per capacity bucket
+    fixed_lag_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

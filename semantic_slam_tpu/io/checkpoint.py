@@ -21,6 +21,7 @@ import numpy as np
 from semantic_slam_tpu.assoc.association import LandmarkTable
 from semantic_slam_tpu.graph.planes import PlaneNodes
 from semantic_slam_tpu.graph.state import GraphState
+from semantic_slam_tpu.solver.fixed_lag import MarginalPrior
 
 
 def save_checkpoint(path: str, engine) -> None:
@@ -48,6 +49,7 @@ def save_checkpoint(path: str, engine) -> None:
         "first_key_added": engine.first_key_added,
         "dtype": str(np.dtype(engine.dtype)),
         "stats_history": engine.stats_history,
+        "kf_base": engine._kf_base,
     }
     np.savez_compressed(
         path,
@@ -64,6 +66,8 @@ def save_checkpoint(path: str, engine) -> None:
         **{f"g_{k}": np.asarray(v) for k, v in g._asdict().items()},
         **{f"t_{k}": np.asarray(v) for k, v in t._asdict().items()},
         **{f"p_{k}": np.asarray(v) for k, v in engine.plane_nodes._asdict().items()},
+        **{f"fl_{k}": np.asarray(v) for k, v in engine.prior._asdict().items()},
+        fl_archived=np.asarray(engine.archived_poses, np.float64).reshape(-1, 7),
     )
 
 
@@ -105,6 +109,17 @@ def load_checkpoint(path: str, engine) -> None:
                 for k in PlaneNodes._fields
             }
         )
+    if "fl_Hp" in z.files:
+        engine.prior = MarginalPrior(
+            **{
+                k: jnp.asarray(
+                    z[f"fl_{k}"],
+                    dtype=(jnp.int32 if z[f"fl_{k}"].dtype.kind == "i" else dtype),
+                )
+                for k in MarginalPrior._fields
+            }
+        )
+        engine.archived_poses = [p.copy() for p in z["fl_archived"]]
     engine.marginals = jnp.asarray(z["marginals"], dtype)
     engine.robot_pose = z["robot_pose"].astype(np.float64)
     engine.vio_pose = z["vio_pose"].astype(np.float64)
@@ -140,6 +155,7 @@ def _restore_keyframes_and_gate(engine, meta: dict) -> None:
         )
         for k in meta["keyframes"]
     ]
+    engine._kf_base = int(meta.get("kf_base", 0))
     gate = meta["gate"]
     engine.gate.is_first = bool(gate["is_first"])
     engine.gate.accum_distance = float(gate["accum_distance"])
@@ -169,6 +185,7 @@ def _engine_pytree(engine) -> dict:
         "table": engine.table,
         "planes": engine.plane_nodes,
         "marginals": engine.marginals,
+        "prior": engine.prior,
     }
 
 
@@ -193,6 +210,8 @@ def _engine_host_meta(engine) -> dict:
         },
         "first_key_added": engine.first_key_added,
         "stats_history": engine.stats_history,
+        "kf_base": engine._kf_base,
+        "archived_poses": [p.tolist() for p in engine.archived_poses],
         "robot_pose": engine.robot_pose.tolist(),
         "vio_pose": engine.vio_pose.tolist(),
         "prev_odom": engine.prev_odom.tolist(),
@@ -209,6 +228,8 @@ def _engine_host_meta(engine) -> dict:
             "E2": engine.graph.lme_k.shape[0],
             "Pl": engine.plane_nodes.planes.shape[0],
             "E3": engine.plane_nodes.pe_k.shape[0],
+            "PB": engine.prior.max_poses,
+            "PL": engine.prior.Hl.shape[0],
         },
     }
 
@@ -249,11 +270,16 @@ def load_checkpoint_orbax(path: str, engine) -> None:
     # engine's initial shapes via grow_graph doubling)
     caps = meta["capacities"]
     dtype = engine.dtype
+    from semantic_slam_tpu.solver.fixed_lag import empty_prior
+
     template = {
         "graph": make_graph(caps["K"], caps["L"], caps["E1"], caps["E2"], dtype=dtype),
         "table": make_table(caps["L"], dtype=dtype),
         "planes": make_planes(caps["Pl"], caps["E3"], dtype=dtype),
         "marginals": jnp.tile(jnp.eye(3, dtype=dtype), (caps["L"], 1, 1)),
+        "prior": empty_prior(
+            caps.get("PL", caps["L"]), PB=caps.get("PB", 8), dtype=dtype
+        ),
     }
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.join(path, "device_state"), template)
@@ -261,6 +287,11 @@ def load_checkpoint_orbax(path: str, engine) -> None:
     engine.table = restored["table"]
     engine.plane_nodes = restored["planes"]
     engine.marginals = restored["marginals"]
+    if "prior" in restored:
+        engine.prior = restored["prior"]
+    engine.archived_poses = [
+        np.asarray(p, np.float64) for p in meta.get("archived_poses", [])
+    ]
     engine.robot_pose = np.asarray(meta["robot_pose"], np.float64)
     engine.vio_pose = np.asarray(meta["vio_pose"], np.float64)
     engine.prev_odom = np.asarray(meta["prev_odom"], np.float64)

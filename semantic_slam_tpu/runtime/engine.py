@@ -297,14 +297,26 @@ def _optimize_tick_impl(
     robust_delta: float = 1.0,
     do_opt=True,
     init_lambda=0.0,
+    prior=None,
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
-    lax.cond so empty ticks are nearly free."""
+    lax.cond so empty ticks are nearly free. ``prior`` (a MarginalPrior, or
+    None) carries fixed-lag marginalization information — a Python-level
+    branch, so the no-prior programs are unchanged."""
 
     def do_opt_branch(operand):
         g, t, marg = operand
-        if linear_solver == "pcg":
+        if prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            g2, stats = fl.lm_optimize_prior(
+                g, prior, max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol, robust_kind=robust_kind,
+                robust_delta=robust_delta, init_lambda=init_lambda,
+            )
+            marg2 = fl.landmark_marginals_prior(g2, prior)
+        elif linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
             g2, stats = pcg_mod.lm_optimize_pcg(
@@ -319,7 +331,8 @@ def _optimize_tick_impl(
                 rel_tol=rel_tol, robust_kind=robust_kind, robust_delta=robust_delta,
                 init_lambda=init_lambda,
             )
-        marg2 = lm_mod.landmark_marginals(g2)
+        if prior is None:
+            marg2 = lm_mod.landmark_marginals(g2)
         has_lms = t.count > 0
         t2 = assoc_mod.sync_from_graph(t, g2.landmarks, marg2)
         t2 = jax.tree.map(lambda a, b: jnp.where(has_lms, a, b), t2, t)
@@ -390,6 +403,7 @@ def _tick_fused_detect(
     robust_delta,
     do_opt=True,
     init_lambda=0.0,
+    prior=None,
 ):
     """Single-keyframe tick fused into ONE device program: keyframe ingest +
     frontend + association + landmark ingest + LM optimize + marginals +
@@ -407,7 +421,7 @@ def _tick_fused_detect(
         linear_solver=linear_solver, pcg_iters=pcg_iters,
         pcg_precond=pcg_precond,
         robust_kind=robust_kind, robust_delta=robust_delta, do_opt=do_opt,
-        init_lambda=init_lambda,
+        init_lambda=init_lambda, prior=prior,
     )
     return graph, table, marginals, dets, info
 
@@ -423,6 +437,7 @@ def _tick_fused_plain(
     info6,
     do_opt=True,
     init_lambda=0.0,
+    prior=None,
     **opt_statics,
 ):
     """Single detection-less keyframe tick fused into one program."""
@@ -432,7 +447,7 @@ def _tick_fused_plain(
     graph = jax.tree.map(lambda a, b: jnp.where(has_prev, a, b), with_edge, graph)
     return _optimize_tick_impl(
         graph, table, marginals, kf_idx, do_opt=do_opt, init_lambda=init_lambda,
-        **opt_statics
+        prior=prior, **opt_statics
     )
 
 
@@ -672,6 +687,20 @@ class SlamEngine:
         self.keyframes: list[KeyframeMeta] = []
         self.marginals = jnp.tile(jnp.eye(3, dtype=self.dtype), (l0, 1, 1))
 
+        # fixed-lag smoothing state (solver/fixed_lag.py; off when window==0)
+        from semantic_slam_tpu.solver import fixed_lag as _fl
+
+        self._fl = _fl
+        self.prior = _fl.empty_prior(l0, dtype=self.dtype)
+        self._kf_base = 0  # keyframes marginalized out of the graph so far
+        # optimized poses of marginalized keyframes (archived at drop time)
+        self.archived_poses: list[np.ndarray] = []
+        if config.solver.fixed_lag_window > 0:
+            if config.use_plane_landmarks:
+                raise ValueError("fixed_lag_window requires use_plane_landmarks=False")
+            if config.solver.linear_solver != "dense":
+                raise ValueError("fixed_lag_window currently requires linear_solver='dense'")
+
         # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
         self._ticks_done = 0
         # previous tick's final LM lambda (warm_start_lambda feed-back)
@@ -853,7 +882,7 @@ class SlamEngine:
                         has_prev,
                         self._info6,
                     )
-                kf.node_idx = self._n_poses
+                kf.node_idx = self._n_poses + self._kf_base
                 self._n_poses += 1
                 if has_prev:
                     self._n_odom += 1
@@ -862,7 +891,7 @@ class SlamEngine:
                 self.graph,
                 self.table,
                 self.plane_nodes,
-                np.int32(self.keyframes[-1].node_idx),
+                np.int32(self.keyframes[-1].node_idx - self._kf_base),
                 max_iterations=self.cfg.solver.max_iterations,
                 min_edges=self.cfg.solver.min_edges_to_optimize,
                 rel_tol=self.cfg.solver.rel_decrease_tol,
@@ -888,6 +917,7 @@ class SlamEngine:
                 ) = _tick_fused_detect(
                     self.graph, self.table, self.marginals, *args,
                     do_opt=do_opt, init_lambda=init_lam,
+                    prior=self._prior_arg(),
                     **statics, **self._opt_statics(),
                 )
                 self.last_detected_objects = dets
@@ -900,9 +930,10 @@ class SlamEngine:
                     self._info6,
                     do_opt=do_opt,
                     init_lambda=init_lam,
+                    prior=self._prior_arg(),
                     **self._opt_statics(),
                 )
-            kf.node_idx = self._n_poses
+            kf.node_idx = self._n_poses + self._kf_base
             self._n_poses += 1
             if has_prev:
                 self._n_odom += 1
@@ -915,7 +946,7 @@ class SlamEngine:
                     has_prev = len(self.keyframes) > 0
                     prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
                     self._process_keyframe_with_detections(kf, prev_odom, has_prev)
-                    kf.node_idx = self._n_poses
+                    kf.node_idx = self._n_poses + self._kf_base
                     self._n_poses += 1
                     if has_prev:
                         self._n_odom += 1
@@ -959,14 +990,14 @@ class SlamEngine:
                         self._info6,
                     )
                 for b, r in enumerate(run):
-                    r.node_idx = self._n_poses
+                    r.node_idx = self._n_poses + self._kf_base
                     self._n_poses += 1
                     if has_prev or b > 0:
                         self._n_odom += 1
                     self.keyframes.append(r)
                 i = j
 
-            last_idx = self.keyframes[-1].node_idx
+            last_idx = self.keyframes[-1].node_idx - self._kf_base
             self.graph, self.table, self.marginals, info = _optimize_tick(
                 self.graph,
                 self.table,
@@ -974,6 +1005,7 @@ class SlamEngine:
                 np.int32(last_idx),
                 do_opt=do_opt,
                 init_lambda=init_lam,
+                prior=self._prior_arg(),
                 **self._opt_statics(),
             )
         info = np.asarray(info, np.float64)  # the single device->host fetch
@@ -1017,6 +1049,7 @@ class SlamEngine:
             }
         )
         self.first_key_added = True
+        self._maybe_marginalize()
         n_auto = self.cfg.autosave_every_n_ticks
         if n_auto > 0 and self._ticks_done % n_auto == 0:
             from semantic_slam_tpu.io.checkpoint import save_checkpoint
@@ -1031,7 +1064,7 @@ class SlamEngine:
         if not self.keyframes:
             return False
         t0 = time.perf_counter()
-        last_idx = np.int32(self.keyframes[-1].node_idx)
+        last_idx = np.int32(self.keyframes[-1].node_idx - self._kf_base)
         if self.cfg.use_plane_landmarks:
             self.graph, self.table, self.plane_nodes, info = _optimize_tick_planes(
                 self.graph, self.table, self.plane_nodes, last_idx,
@@ -1048,7 +1081,8 @@ class SlamEngine:
         else:
             self.graph, self.table, self.marginals, info = _optimize_tick(
                 self.graph, self.table, self.marginals, last_idx,
-                do_opt=np.bool_(True), **self._opt_statics(),
+                do_opt=np.bool_(True), prior=self._prior_arg(),
+                **self._opt_statics(),
             )
         info = np.asarray(info, np.float64)
         iters = int(info[0])
@@ -1189,6 +1223,40 @@ class SlamEngine:
         self._n_landmarks = 1
         self._n_lme = 1
 
+    def _prior_arg(self):
+        """The MarginalPrior for the optimize programs — None when fixed-lag
+        is off, keeping those programs byte-identical to the parity build."""
+        return self.prior if self.cfg.solver.fixed_lag_window > 0 else None
+
+    def _maybe_marginalize(self) -> None:
+        """Fixed-lag trigger: once the active window holds window+chunk
+        keyframes, Schur-marginalize the oldest ``chunk`` into the prior and
+        compact the graph (solver/fixed_lag.py). The dropped keyframes'
+        optimized poses are archived first so exported trajectories stay
+        complete. One small host fetch per marginalization (rare)."""
+        W = self.cfg.solver.fixed_lag_window
+        if W <= 0:
+            return
+        C = self.cfg.solver.fixed_lag_chunk or max(8, W // 4)
+        while self._n_poses >= W + C:
+            dropped = np.asarray(self.graph.poses[:C], np.float64)
+            self.archived_poses.extend(dropped)
+            self.graph, self.prior, num_b = self._fl.marginalize(
+                self.graph, self.prior, drop=C
+            )
+            counts = np.asarray(
+                jnp.stack([self.graph.num_odom, self.graph.num_lme, num_b])
+            )
+            if int(counts[2]) > self.prior.max_poses:
+                print(
+                    f"[fixed_lag] WARNING: boundary poses {int(counts[2])} exceed "
+                    f"prior capacity {self.prior.max_poses}; information truncated"
+                )
+            self._kf_base += C
+            self._n_poses -= C
+            self._n_odom = int(counts[0])
+            self._n_lme = int(counts[1])
+
     def _ensure_capacity(self, batch: list[KeyframeMeta]) -> None:
         """Host-side growth check using count mirrors; doubles capacities when
         the incoming batch could overflow (a recompile point)."""
@@ -1211,6 +1279,7 @@ class SlamEngine:
             self.marginals = jnp.tile(
                 jnp.eye(3, dtype=self.dtype), (self.graph.max_landmarks, 1, 1)
             )
+            self.prior = _grow_prior(self.prior, self.graph.max_landmarks)
 
     # ------------------------------------------------------------------
     # getters mirroring the reference API (semantic_graph_slam.h:27-113)
@@ -1226,9 +1295,25 @@ class SlamEngine:
         return self.vio_pose.copy()
 
     def get_keyframe_poses(self) -> np.ndarray:
-        """Optimized keyframe trajectory [N,7]."""
+        """Optimized keyframe trajectory [N,7] — marginalized keyframes
+        (fixed-lag mode) come from the archive at their last optimized
+        estimate, active ones from the graph."""
         n = self._n_poses
-        return np.asarray(self.graph.poses[:n], np.float64)
+        active = np.asarray(self.graph.poses[:n], np.float64)
+        if not self.archived_poses:
+            return active
+        return np.concatenate([np.asarray(self.archived_poses), active], axis=0)
+
+    def get_keyframe_pose(self, kf: KeyframeMeta) -> np.ndarray | None:
+        """Optimized pose7 for one keyframe (archive-aware); None if unknown."""
+        if kf.node_idx is None:
+            return None
+        gi = kf.node_idx - self._kf_base
+        if gi >= 0:
+            return np.asarray(self.graph.poses[gi], np.float64)
+        if kf.node_idx < len(self.archived_poses):
+            return np.asarray(self.archived_poses[kf.node_idx], np.float64)
+        return None
 
     def get_mapped_landmarks(self):
         n = int(self.table.count)
@@ -1239,6 +1324,17 @@ class SlamEngine:
             "plane_type": np.asarray(self.table.plane_type[:n]),
             "normal": np.asarray(self.table.normal[:n], np.float64),
         }
+
+
+def _grow_prior(prior, new_L: int):
+    """Pad the prior's landmark-capacity arrays after grow_graph."""
+    L = prior.Hl.shape[0]
+    if new_L <= L:
+        return prior
+    pad = lambda a: jnp.zeros((new_L,) + a.shape[1:], a.dtype).at[:L].set(a)
+    return prior._replace(
+        Hl=pad(prior.Hl), l_ref=pad(prior.l_ref), gl0=pad(prior.gl0)
+    )
 
 
 def _grow_planes(pn, factor: int = 2):

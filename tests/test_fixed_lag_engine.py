@@ -1,0 +1,99 @@
+"""Engine-level fixed-lag smoothing: bounded window, full trajectory out.
+
+Replays the canonical synthetic lab session with
+``SolverConfig.fixed_lag_window`` set and asserts (a) the active graph stays
+bounded while the exported trajectory keeps every keyframe, (b) accuracy
+still beats raw VIO within the e2e bound, (c) the prior and archive
+round-trip through checkpoints.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from semantic_slam_tpu.eval import ate as ate_mod
+from semantic_slam_tpu.io import replay as replay_mod
+from semantic_slam_tpu.io import synthetic as synth_mod
+from semantic_slam_tpu.runtime.engine import SlamEngine
+
+from test_e2e import e2e_config
+
+WINDOW, CHUNK = 20, 8
+
+
+def fl_config():
+    cfg = e2e_config()
+    return dataclasses.replace(
+        cfg,
+        solver=dataclasses.replace(
+            cfg.solver, fixed_lag_window=WINDOW, fixed_lag_chunk=CHUNK
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def session():
+    log = synth_mod.make_synthetic_log(
+        seed=3, n_steps=360, sensor_every=5, drift_noise=0.008, loops=2.0
+    )
+    eng = SlamEngine(fl_config())
+    replay_mod.replay(log, eng)
+    return log, eng
+
+
+class TestFixedLagEngine:
+    def test_window_bounded_and_trajectory_complete(self, session):
+        _, eng = session
+        assert eng._kf_base > 0, "marginalization never triggered"
+        assert eng._n_poses < WINDOW + CHUNK
+        assert int(eng.graph.num_poses) == eng._n_poses
+        poses = eng.get_keyframe_poses()
+        assert len(poses) == len(eng.keyframes)
+        assert len(eng.archived_poses) == eng._kf_base
+        # landmarks were never removed
+        assert int(eng.graph.num_landmarks) == int(eng.table.count)
+
+    def test_ate_still_beats_vio(self, session):
+        log, eng = session
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+        kf_t = np.array([k.stamp for k in eng.keyframes])
+        kf_xyz = eng.get_keyframe_poses()[:, :3]
+        vio_t = np.array([t for t, _ in eng.vio_traj])
+        vio_xyz = np.stack([p[:3] for _, p in eng.vio_traj])
+        ate_opt = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
+        ate_vio = ate_mod.ate_rmse(vio_t, vio_xyz, gt_t, gt_xyz, align=False)
+        assert np.isfinite(ate_opt)
+        assert ate_opt < ate_vio
+        assert ate_opt < 0.35
+
+    def test_archive_aware_pose_lookup(self, session):
+        _, eng = session
+        first, last = eng.keyframes[0], eng.keyframes[-1]
+        p_first = eng.get_keyframe_pose(first)
+        p_last = eng.get_keyframe_pose(last)
+        assert p_first is not None and p_last is not None
+        np.testing.assert_allclose(p_first, eng.archived_poses[0])
+        np.testing.assert_allclose(
+            p_last, np.asarray(eng.graph.poses[eng._n_poses - 1], np.float64)
+        )
+
+    def test_checkpoint_round_trip_keeps_prior(self, session, tmp_path):
+        _, eng = session
+        from semantic_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        path = str(tmp_path / "fl_ckpt.npz")
+        save_checkpoint(path, eng)
+        eng2 = SlamEngine(fl_config())
+        load_checkpoint(path, eng2)
+        assert eng2._kf_base == eng._kf_base
+        np.testing.assert_allclose(
+            np.asarray(eng2.prior.Hp), np.asarray(eng.prior.Hp), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(eng2.prior.Hl), np.asarray(eng.prior.Hl), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            eng2.get_keyframe_poses(), eng.get_keyframe_poses(), atol=1e-12
+        )
