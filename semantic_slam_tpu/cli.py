@@ -118,7 +118,6 @@ def cmd_run(args) -> None:
         solver_kw["optimize_every_n_ticks"] = args.optimize_every
     if args.fixed_lag > 0:
         solver_kw["fixed_lag_window"] = args.fixed_lag
-        solver_kw["linear_solver"] = "dense"
     if solver_kw:
         cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     if args.adaptive_normals:

@@ -310,11 +310,22 @@ def _optimize_tick_impl(
         if prior is not None:
             from semantic_slam_tpu.solver import fixed_lag as fl
 
-            g2, stats = fl.lm_optimize_prior(
-                g, prior, max_iterations=max_iterations, min_edges=min_edges,
-                rel_tol=rel_tol, robust_kind=robust_kind,
-                robust_delta=robust_delta, init_lambda=init_lambda,
-            )
+            if linear_solver == "pcg":
+                from semantic_slam_tpu.solver import pcg as pcg_mod
+
+                g2, stats = pcg_mod.lm_optimize_pcg(
+                    g, max_iterations=max_iterations, min_edges=min_edges,
+                    rel_tol=rel_tol, max_cg_iters=pcg_iters,
+                    robust_kind=robust_kind, robust_delta=robust_delta,
+                    init_lambda=init_lambda, precond_kind=pcg_precond,
+                    prior=prior,
+                )
+            else:
+                g2, stats = fl.lm_optimize_prior(
+                    g, prior, max_iterations=max_iterations, min_edges=min_edges,
+                    rel_tol=rel_tol, robust_kind=robust_kind,
+                    robust_delta=robust_delta, init_lambda=init_lambda,
+                )
             marg2 = fl.landmark_marginals_prior(g2, prior)
         elif linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
@@ -695,11 +706,8 @@ class SlamEngine:
         self._kf_base = 0  # keyframes marginalized out of the graph so far
         # optimized poses of marginalized keyframes (archived at drop time)
         self.archived_poses: list[np.ndarray] = []
-        if config.solver.fixed_lag_window > 0:
-            if config.use_plane_landmarks:
-                raise ValueError("fixed_lag_window requires use_plane_landmarks=False")
-            if config.solver.linear_solver != "dense":
-                raise ValueError("fixed_lag_window currently requires linear_solver='dense'")
+        if config.solver.fixed_lag_window > 0 and config.use_plane_landmarks:
+            raise ValueError("fixed_lag_window requires use_plane_landmarks=False")
 
         # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
         self._ticks_done = 0

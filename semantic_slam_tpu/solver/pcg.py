@@ -140,8 +140,33 @@ def build_edge_blocks(
     )
 
 
+def apply_prior_blocks(eb: EdgeBlocks, prior, poses, landmarks) -> EdgeBlocks:
+    """Fold a fixed-lag ``MarginalPrior`` (solver/fixed_lag.py) into edge
+    blocks. All additions land on the POST-allreduce (replicated) fields, so
+    this is shard_map-safe when applied on every shard."""
+    from semantic_slam_tpu.solver import fixed_lag as fl
+
+    dtype = eb.gp.dtype
+    PB = prior.p_idx.shape[0]
+    ep, el = fl._prior_coords(prior, poses, landmarks)
+    ep = ep.astype(dtype)
+    el = el.astype(dtype)
+    gp_add = (prior.gp0 + prior.Hp @ ep).reshape(PB, 6)
+    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
+    Hp4 = prior.Hp.reshape(PB, 6, PB, 6).transpose(0, 2, 1, 3)
+    diag_add = Hp4[jnp.arange(PB), jnp.arange(PB)]  # [PB, 6, 6]
+    return eb._replace(
+        Hll=eb.Hll + prior.Hl,
+        gp=eb.gp.at[prior.p_idx].add(gp_add),
+        gl=eb.gl + gl_add,
+        diag=eb.diag.at[prior.p_idx].add(diag_add),
+        chi2=eb.chi2 + fl.prior_chi2(prior, poses, landmarks),
+    )
+
+
 def reduced_matvec(
-    eb: EdgeBlocks, Ainv: jax.Array, lam, pose_free, x: jax.Array, allreduce: Callable
+    eb: EdgeBlocks, Ainv: jax.Array, lam, pose_free, x: jax.Array,
+    allreduce: Callable, prior=None,
 ) -> jax.Array:
     """Apply the damped reduced operator to x [K,6] (free rows only)."""
     K = x.shape[0]
@@ -168,6 +193,13 @@ def reduced_matvec(
     u = u.at[eb.lk].add(jnp.einsum("eij,ej->ei", eb.H_kk, x[eb.lk]))
     u = u.at[eb.lk].add(-jnp.einsum("eij,ej->ei", eb.W_kl, z[eb.ll]))
     u = allreduce(u)
+    if prior is not None:
+        # dense boundary-pose prior block (replicated — added after psum).
+        # NOTE: the prior's landmark part is inside eb.Hll, hence inside
+        # Ainv, so it needs no term here.
+        PB = prior.p_idx.shape[0]
+        xp = x[prior.p_idx].reshape(-1)
+        u = u.at[prior.p_idx].add((prior.Hp @ xp).reshape(PB, 6))
     u = u + lam * x
     return u * pose_free[:, None]
 
@@ -182,6 +214,7 @@ def pcg_solve(
     max_cg_iters: int = 128,
     tol: float = 1e-8,
     precond: Callable | None = None,
+    prior=None,
 ) -> jax.Array:
     """Preconditioned CG on the reduced camera system (block-Jacobi by
     default; pass ``precond`` for the block-tridiagonal chain variant)."""
@@ -210,7 +243,7 @@ def pcg_solve(
 
     def body(carry):
         x, r, p, rz, it = carry
-        Ap = reduced_matvec(eb, Ainv, lam, pf, p, allreduce)
+        Ap = reduced_matvec(eb, Ainv, lam, pf, p, allreduce, prior=prior)
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -232,6 +265,7 @@ def schur_pcg_step(
     allreduce: Callable,
     max_cg_iters: int,
     precond_kind: str = "jacobi",
+    prior=None,
 ):
     """One damped Schur-eliminated solve on (possibly plane-extended) edge
     blocks: returns (dp [K,6], db [B,3]) where B = number of 3-dof landmark
@@ -272,7 +306,8 @@ def schur_pcg_step(
     )
     b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
     dp = pcg_solve(
-        eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters, precond=precond
+        eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters, precond=precond,
+        prior=prior,
     )
     # back-substitute: db = Ainv(-gl - W^T dp)
     t_loc = jnp.zeros_like(gl).at[eb.ll].add(
@@ -298,20 +333,30 @@ def run_lm_loop_pcg(
     robust_delta: float = 1.0,
     init_lambda=0.0,
     precond_kind: str = "jacobi",
+    prior=None,
 ):
     """Nielsen-damped LM with the matrix-free PCG inner solver.
-    ``init_lambda > 0`` (traced) warm-starts the damping."""
+    ``init_lambda > 0`` (traced) warm-starts the damping. ``prior`` is a
+    fixed-lag MarginalPrior folded into every linearization (replicated)."""
     dtype = poses.dtype
 
     def chi2_fn(p, l):
-        return allreduce(
+        base = allreduce(
             chi2_arrays(p, l, *edge_args, robust_kind=robust_kind, robust_delta=robust_delta)
         )
+        if prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            base = base + fl.prior_chi2(prior, p, l)
+        return base
 
     def build(p, l):
-        return build_edge_blocks(
+        eb = build_edge_blocks(
             p, l, *edge_args, allreduce, robust_kind=robust_kind, robust_delta=robust_delta
         )
+        if prior is not None:
+            eb = apply_prior_blocks(eb, prior, p, l)
+        return eb
 
     eb0 = build(poses, landmarks)
     chi2_0 = eb0.chi2
@@ -327,7 +372,7 @@ def run_lm_loop_pcg(
     def solve(eb, lam):
         return schur_pcg_step(
             eb, lam, pose_free, lm_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind,
+            precond_kind=precond_kind, prior=prior,
         )
 
     def cond(carry):
@@ -400,6 +445,7 @@ def lm_optimize_pcg(
     robust_delta: float = 1.0,
     init_lambda=0.0,
     precond_kind: str = "jacobi",
+    prior=None,
 ):
     """Single-chip matrix-free LM (drop-in for lm_optimize)."""
     pose_free, lm_free = _free_masks(g)
@@ -407,7 +453,7 @@ def lm_optimize_pcg(
         g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
         lambda x: x, max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
-        init_lambda=init_lambda, precond_kind=precond_kind,
+        init_lambda=init_lambda, precond_kind=precond_kind, prior=prior,
     )
     run = g.num_edges() >= min_edges
     g = g._replace(
@@ -735,8 +781,11 @@ def sharded_lm_optimize_pcg(
     rel_tol: float = 1e-6,
     max_cg_iters: int = 128,
     precond_kind: str = "jacobi",
+    prior=None,
 ):
-    """Edge-sharded matrix-free LM: ~[6K]+[3L] of psum traffic per CG step."""
+    """Edge-sharded matrix-free LM: ~[6K]+[3L] of psum traffic per CG step.
+    ``prior`` (fixed-lag MarginalPrior) is replicated; its blocks are folded
+    post-psum on every shard."""
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis_name]
@@ -745,22 +794,39 @@ def sharded_lm_optimize_pcg(
     pose_free, lm_free = _free_masks(g)
     edge_args = _edge_args(g)
 
-    def body(poses, landmarks, pose_free, lm_free, *edges):
+    def body(poses, landmarks, pose_free, lm_free, prior, *edges):
         return run_lm_loop_pcg(
             poses, landmarks, edges, pose_free, lm_free,
             lambda x: jax.lax.psum(x, axis_name), max_iterations, rel_tol,
-            max_cg_iters, precond_kind=precond_kind,
+            max_cg_iters, precond_kind=precond_kind, prior=prior,
         )
 
     e_spec = tuple(P(axis_name) for _ in edge_args)
+    prior_spec = (
+        None if prior is None else type(prior)(*(P() for _ in prior))
+    )
+    def body_no_prior(poses, landmarks, pose_free, lm_free, *edges):
+        return body(poses, landmarks, pose_free, lm_free, None, *edges)
+
     sharded = jax.shard_map(
-        body,
+        body_no_prior if prior is None else body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()) + e_spec,
+        in_specs=(
+            (P(), P(), P(), P()) + e_spec
+            if prior is None
+            else (P(), P(), P(), P(), prior_spec) + e_spec
+        ),
         out_specs=(P(), P(), LMStats(P(), P(), P(), P())),
         check_vma=False,
     )
-    poses, landmarks, stats = sharded(g.poses, g.landmarks, pose_free, lm_free, *edge_args)
+    if prior is None:
+        poses, landmarks, stats = sharded(
+            g.poses, g.landmarks, pose_free, lm_free, *edge_args
+        )
+    else:
+        poses, landmarks, stats = sharded(
+            g.poses, g.landmarks, pose_free, lm_free, prior, *edge_args
+        )
 
     run = g.num_edges() >= min_edges
     g = g._replace(

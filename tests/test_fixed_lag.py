@@ -129,6 +129,45 @@ def test_repeated_marginalization_composes(optimized_graph):
     assert np.sqrt(np.mean((got - ref) ** 2)) < 2e-2
 
 
+def test_pcg_prior_matches_dense_prior(optimized_graph):
+    from semantic_slam_tpu.solver import pcg as pcg_mod
+
+    g2, prior, _ = fl.marginalize(optimized_graph, fl.empty_prior(L), drop=DROP)
+    rng = np.random.default_rng(1)
+    noisy = np.asarray(g2.poses).copy()
+    n_act = int(g2.num_poses)
+    noisy[1:n_act, :3] += rng.normal(scale=0.03, size=(n_act - 1, 3))
+    g_noisy = g2._replace(poses=jnp.asarray(noisy))
+
+    gd, sd = fl.lm_optimize_prior(g_noisy, prior, max_iterations=40)
+    gp, sp = pcg_mod.lm_optimize_pcg(
+        g_noisy, prior=prior, max_iterations=40, max_cg_iters=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp.poses)[:n_act, :3],
+        np.asarray(gd.poses)[:n_act, :3],
+        atol=2e-3,
+    )
+    assert float(sp.chi2_final) == pytest.approx(float(sd.chi2_final), rel=1e-2)
+
+
+def test_sharded_pcg_prior_matches_single_chip(optimized_graph):
+    from semantic_slam_tpu.parallel.sharded import make_mesh
+    from semantic_slam_tpu.solver import pcg as pcg_mod
+
+    g2, prior, _ = fl.marginalize(optimized_graph, fl.empty_prior(L), drop=DROP)
+    mesh = make_mesh(4)
+    gs_, ss = pcg_mod.sharded_lm_optimize_pcg(
+        g2, mesh, max_iterations=20, prior=prior
+    )
+    g1, s1 = pcg_mod.lm_optimize_pcg(g2, prior=prior, max_iterations=20)
+    n_act = int(g2.num_poses)
+    np.testing.assert_allclose(
+        np.asarray(gs_.poses)[:n_act], np.asarray(g1.poses)[:n_act], atol=1e-6
+    )
+    assert float(ss.chi2_final) == pytest.approx(float(s1.chi2_final), rel=1e-6)
+
+
 def test_marginals_with_prior_are_psd(optimized_graph):
     g2, prior, _ = fl.marginalize(optimized_graph, fl.empty_prior(L), drop=DROP)
     sig = np.asarray(fl.landmark_marginals_prior(g2, prior))
