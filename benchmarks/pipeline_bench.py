@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -30,6 +32,11 @@ def main():
     ap.add_argument("--optimize-every", type=int, default=1)
     ap.add_argument("--warm-start", action="store_true")
     ap.add_argument("--solver", choices=["", "dense", "pcg"], default="")
+    ap.add_argument(
+        "--fixed-lag", type=int, default=0,
+        help="fixed-lag window (0 = reference full-history); bounds per-tick "
+        "solve cost on long sessions",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -54,6 +61,8 @@ def main():
         solver_kw["warm_start_lambda"] = True
     if args.solver:
         solver_kw["linear_solver"] = args.solver
+    if args.fixed_lag > 0:
+        solver_kw["fixed_lag_window"] = args.fixed_lag
     if solver_kw:
         cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
 
@@ -102,6 +111,16 @@ def main():
         "other_s": round(
             wall - solve_s - m.totals.get("frontend+assoc(batch path)", 0.0), 3
         ),
+        # per-tick solve time at session start vs end: full-history grows,
+        # fixed-lag stays flat
+        "solve_ms_first10": round(
+            1e3 * float(np.mean([s["solve_seconds"] for s in engine.stats_history[1:11]])), 2
+        ) if len(engine.stats_history) > 11 else None,
+        "solve_ms_last10": round(
+            1e3 * float(np.mean([s["solve_seconds"] for s in engine.stats_history[-10:]])), 2
+        ) if len(engine.stats_history) > 11 else None,
+        "active_poses": int(engine.graph.num_poses),
+        "marginalized": engine._kf_base,
     }
     print(json.dumps(summary, indent=1))
 
