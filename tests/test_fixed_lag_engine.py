@@ -79,6 +79,32 @@ class TestFixedLagEngine:
             p_last, np.asarray(eng.graph.poses[eng._n_poses - 1], np.float64)
         )
 
+    def test_growth_interacts_with_prior(self):
+        """Capacity doubling mid-session must grow the prior's landmark
+        arrays (_grow_prior) and keep marginalization consistent."""
+        from semantic_slam_tpu.config import CapacityConfig
+
+        cfg = fl_config()
+        cfg = dataclasses.replace(
+            cfg,
+            capacity=CapacityConfig(
+                max_keyframes=16,
+                max_landmarks=4,
+                max_odom_edges=16,
+                max_landmark_edges=32,
+                max_detections_per_frame=4,
+            ),
+        )
+        log = synth_mod.make_synthetic_log(
+            seed=3, n_steps=240, sensor_every=5, drift_noise=0.008, loops=2.0
+        )
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        assert eng.graph.poses.shape[0] > 16  # growth happened
+        assert eng.prior.Hl.shape[0] == eng.graph.landmarks.shape[0]
+        assert eng._kf_base > 0
+        assert len(eng.get_keyframe_poses()) == len(eng.keyframes)
+
     def test_checkpoint_round_trip_keeps_prior(self, session, tmp_path):
         _, eng = session
         from semantic_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
