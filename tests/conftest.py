@@ -30,3 +30,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Each XLA:CPU compile leaves LLVM-JIT code mappings behind; a full-suite run
+# accumulates >65530 of them and the kernel's vm.max_map_count limit turns
+# the next mmap failure into a hard SIGSEGV inside backend_compile_and_load.
+# Dropping the executable cache releases the mappings, so flush it whenever
+# the process map table gets close to the limit (costs a few recompiles).
+_MAP_GUARD_THRESHOLD = 30_000
+
+
+@pytest.fixture(autouse=True)
+def _jit_map_guard():
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > _MAP_GUARD_THRESHOLD:
+        jax.clear_caches()
