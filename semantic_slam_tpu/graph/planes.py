@@ -185,9 +185,11 @@ def lm_optimize_with_planes(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     init_lambda=0.0,
+    prior=None,
 ) -> tuple[GraphState, PlaneNodes, lm_mod.LMStats]:
     """Joint LM over poses + point landmarks + plane landmarks (Schur
-    elimination of both block types)."""
+    elimination of both block types). ``prior`` (fixed-lag MarginalPrior
+    with plane part) is folded into every linearization."""
     K = g.poses.shape[0]
     L = g.landmarks.shape[0]
     Pl = pn.planes.shape[0]
@@ -195,10 +197,24 @@ def lm_optimize_with_planes(
     block_free = jnp.concatenate([lm_free, pn.plane_mask()])
 
     def lin_fn(g_, pn_):
-        return linearize_with_planes(g_, pn_, robust_kind, robust_delta)
+        lin = linearize_with_planes(g_, pn_, robust_kind, robust_delta)
+        if prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            lin = fl.apply_prior_planes(
+                lin, prior, g_.poses, g_.landmarks, pn_.planes
+            )
+        return lin
 
     def chi2_fn(g_, pn_):
-        return chi2_with_planes(g_, pn_, robust_kind, robust_delta)
+        base = chi2_with_planes(g_, pn_, robust_kind, robust_delta)
+        if prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            base = base + fl.prior_chi2_planes(
+                prior, g_.poses, g_.landmarks, pn_.planes
+            )
+        return base
 
     lin0 = lin_fn(g, pn)
     chi2_0 = lin0.chi2

@@ -230,6 +230,7 @@ def _engine_host_meta(engine) -> dict:
             "E3": engine.plane_nodes.pe_k.shape[0],
             "PB": engine.prior.max_poses,
             "PL": engine.prior.Hl.shape[0],
+            "PPl": engine.prior.Hpl.shape[0],
         },
     }
 
@@ -278,7 +279,8 @@ def load_checkpoint_orbax(path: str, engine) -> None:
         "planes": make_planes(caps["Pl"], caps["E3"], dtype=dtype),
         "marginals": jnp.tile(jnp.eye(3, dtype=dtype), (caps["L"], 1, 1)),
         "prior": empty_prior(
-            caps.get("PL", caps["L"]), PB=caps.get("PB", 8), dtype=dtype
+            caps.get("PL", caps["L"]), PB=caps.get("PB", 8),
+            Pl=caps.get("PPl", 0), dtype=dtype
         ),
     }
     ckptr = ocp.StandardCheckpointer()

@@ -594,15 +594,24 @@ def _optimize_tick_planes(
     robust_delta: float = 1.0,
     do_opt=True,
     init_lambda=0.0,
+    prior=None,
 ):
     """Planar-patch tick: joint pose+point+plane Schur LM (dense Cholesky or
     matrix-free PCG per ``linear_solver``), then the same marginal recovery +
     table sync as the point path (the centroid is a point landmark, so gating
-    behaves exactly as in point mode)."""
+    behaves exactly as in point mode). ``prior`` (fixed-lag) folds into the
+    dense joint solve."""
 
     def do_branch(operand):
         graph, table, pn = operand
-        if linear_solver == "pcg":
+        if prior is not None:
+            graph, pn, stats = planes_ext.lm_optimize_with_planes(
+                graph, pn, max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol,
+                robust_kind=robust_kind, robust_delta=robust_delta,
+                init_lambda=init_lambda, prior=prior,
+            )
+        elif linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
             graph, pn, stats = pcg_mod.lm_optimize_pcg_planes(
@@ -619,7 +628,12 @@ def _optimize_tick_planes(
                 init_lambda=init_lambda,
             )
         ran = (stats.iterations > 0) & (table.count > 0)
-        marg = lm_mod.landmark_marginals(graph)
+        if prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            marg = fl.landmark_marginals_prior(graph, prior)
+        else:
+            marg = lm_mod.landmark_marginals(graph)
         t2 = assoc_mod.sync_from_graph(table, graph.landmarks, marg)
         table = jax.tree.map(lambda a, b: jnp.where(ran, a, b), t2, table)
         return graph, table, pn, stats
@@ -702,12 +716,19 @@ class SlamEngine:
         from semantic_slam_tpu.solver import fixed_lag as _fl
 
         self._fl = _fl
-        self.prior = _fl.empty_prior(l0, dtype=self.dtype)
+        self.prior = _fl.empty_prior(l0, Pl=l0, dtype=self.dtype)
         self._kf_base = 0  # keyframes marginalized out of the graph so far
         # optimized poses of marginalized keyframes (archived at drop time)
         self.archived_poses: list[np.ndarray] = []
-        if config.solver.fixed_lag_window > 0 and config.use_plane_landmarks:
-            raise ValueError("fixed_lag_window requires use_plane_landmarks=False")
+        if (
+            config.solver.fixed_lag_window > 0
+            and config.use_plane_landmarks
+            and config.solver.linear_solver != "dense"
+        ):
+            raise ValueError(
+                "fixed_lag_window with use_plane_landmarks requires "
+                "linear_solver='dense'"
+            )
 
         # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
         self._ticks_done = 0
@@ -900,6 +921,7 @@ class SlamEngine:
                 self.table,
                 self.plane_nodes,
                 np.int32(self.keyframes[-1].node_idx - self._kf_base),
+                prior=self._prior_arg(),
                 max_iterations=self.cfg.solver.max_iterations,
                 min_edges=self.cfg.solver.min_edges_to_optimize,
                 rel_tol=self.cfg.solver.rel_decrease_tol,
@@ -1076,6 +1098,7 @@ class SlamEngine:
         if self.cfg.use_plane_landmarks:
             self.graph, self.table, self.plane_nodes, info = _optimize_tick_planes(
                 self.graph, self.table, self.plane_nodes, last_idx,
+                prior=self._prior_arg(),
                 max_iterations=self.cfg.solver.max_iterations,
                 min_edges=self.cfg.solver.min_edges_to_optimize,
                 rel_tol=self.cfg.solver.rel_decrease_tol,
@@ -1249,9 +1272,16 @@ class SlamEngine:
         while self._n_poses >= W + C:
             dropped = np.asarray(self.graph.poses[:C], np.float64)
             self.archived_poses.extend(dropped)
-            self.graph, self.prior, num_b = self._fl.marginalize(
-                self.graph, self.prior, drop=C
-            )
+            if self.cfg.use_plane_landmarks:
+                self.graph, self.plane_nodes, self.prior, num_b = (
+                    self._fl.marginalize_planes(
+                        self.graph, self.plane_nodes, self.prior, drop=C
+                    )
+                )
+            else:
+                self.graph, self.prior, num_b = self._fl.marginalize(
+                    self.graph, self.prior, drop=C
+                )
             counts = np.asarray(
                 jnp.stack([self.graph.num_odom, self.graph.num_lme, num_b])
             )
@@ -1335,13 +1365,23 @@ class SlamEngine:
 
 
 def _grow_prior(prior, new_L: int):
-    """Pad the prior's landmark-capacity arrays after grow_graph."""
+    """Pad the prior's landmark- and plane-capacity arrays after grow_graph
+    (plane nodes are sized with the landmark table, so both grow together)."""
     L = prior.Hl.shape[0]
     if new_L <= L:
         return prior
     pad = lambda a: jnp.zeros((new_L,) + a.shape[1:], a.dtype).at[:L].set(a)
+    Pl = prior.Hpl.shape[0]
+    base4 = jnp.tile(
+        jnp.asarray([0.0, 0.0, 1.0, 0.0], prior.pl_ref.dtype), (new_L, 1)
+    )
     return prior._replace(
-        Hl=pad(prior.Hl), l_ref=pad(prior.l_ref), gl0=pad(prior.gl0)
+        Hl=pad(prior.Hl),
+        l_ref=pad(prior.l_ref),
+        gl0=pad(prior.gl0),
+        Hpl=jnp.zeros((new_L, 3, 3), prior.Hpl.dtype).at[:Pl].set(prior.Hpl),
+        pl_ref=base4.at[:Pl].set(prior.pl_ref),
+        gpl0=jnp.zeros((new_L, 3), prior.gpl0.dtype).at[:Pl].set(prior.gpl0),
     )
 
 

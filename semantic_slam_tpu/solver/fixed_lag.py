@@ -73,6 +73,12 @@ class MarginalPrior(NamedTuple):
     l_ref: jax.Array  # [L, 3]
     gl0: jax.Array  # [L, 3]
     c0: jax.Array  # scalar chi2 offset
+    # planar-patch mode: per-plane anchored priors in the plane tangent
+    # space (2 normal-tangent + offset) around pl_ref — same shape as the
+    # Schur plane blocks, zero when unused
+    Hpl: jax.Array  # [Pl, 3, 3]
+    pl_ref: jax.Array  # [Pl, 4]
+    gpl0: jax.Array  # [Pl, 3]
 
     @property
     def max_poses(self) -> int:
@@ -82,7 +88,7 @@ class MarginalPrior(NamedTuple):
         return (self.num_p == 0) & (jnp.sum(jnp.abs(self.Hl)) == 0)
 
 
-def empty_prior(L: int, PB: int = 8, dtype=jnp.float32) -> MarginalPrior:
+def empty_prior(L: int, PB: int = 8, Pl: int = 0, dtype=jnp.float32) -> MarginalPrior:
     return MarginalPrior(
         p_idx=jnp.zeros((PB,), jnp.int32),
         p_ref=jnp.tile(geo.pose_identity(dtype), (PB, 1)),
@@ -93,12 +99,43 @@ def empty_prior(L: int, PB: int = 8, dtype=jnp.float32) -> MarginalPrior:
         l_ref=jnp.zeros((L, 3), dtype),
         gl0=jnp.zeros((L, 3), dtype),
         c0=jnp.zeros((), dtype),
+        Hpl=jnp.zeros((Pl, 3, 3), dtype),
+        pl_ref=jnp.tile(jnp.asarray([0.0, 0.0, 1.0, 0.0], dtype), (max(Pl, 1), 1))[:Pl],
+        gpl0=jnp.zeros((Pl, 3), dtype),
     )
 
 
 def _pose_local(x: jax.Array, ref: jax.Array) -> jax.Array:
     """e = log(ref^-1 x), the inverse of pose_retract(ref, e)."""
     return geo.se3_log(geo.pose_mul(geo.pose_inv(ref), x))
+
+
+def plane_local(x4: jax.Array, ref4: jax.Array) -> jax.Array:
+    """Tangent coords of plane x around ref: the exact inverse of
+    ``plane_retract(ref, e)`` (for n_ref . n_x > 0): the pre-normalization
+    tangent components recover as (u.n_x)/(n_ref.n_x)."""
+    from semantic_slam_tpu.frontend.hull import plane_basis
+
+    n_r = ref4[..., :3]
+    u, v = plane_basis(n_r)
+    n_x = x4[..., :3]
+    c = jnp.maximum(jnp.sum(n_r * n_x, axis=-1), 1e-6)
+    return jnp.stack(
+        [
+            jnp.sum(u * n_x, axis=-1) / c,
+            jnp.sum(v * n_x, axis=-1) / c,
+            x4[..., 3] - ref4[..., 3],
+        ],
+        axis=-1,
+    )
+
+
+def _plane_prior_terms(prior: MarginalPrior, planes):
+    """(chi2, gradient [Pl,3]) of the plane part at ``planes``."""
+    e = jax.vmap(plane_local)(planes, prior.pl_ref).astype(prior.Hpl.dtype)
+    He = jnp.einsum("pij,pj->pi", prior.Hpl, e)
+    chi = 2.0 * jnp.sum(prior.gpl0 * e) + jnp.sum(e * He)
+    return chi, prior.gpl0 + He
 
 
 def _prior_coords(prior: MarginalPrior, poses, landmarks):
@@ -135,6 +172,37 @@ def apply_prior(
     gl = lin.gl + gl_add.reshape(-1)
 
     chi2 = lin.chi2 + prior_chi2(prior, poses, landmarks)
+    return Linearization(Hpp, lin.W, Hll, gp, gl, chi2)
+
+
+def prior_chi2_planes(prior: MarginalPrior, poses, landmarks, planes) -> jax.Array:
+    """Prior value including the plane part (planar-patch mode)."""
+    chi_pl, _ = _plane_prior_terms(prior, planes)
+    return prior_chi2(prior, poses, landmarks) + chi_pl
+
+
+def apply_prior_planes(
+    lin: Linearization, prior: MarginalPrior, poses, landmarks, planes
+) -> Linearization:
+    """``apply_prior`` for the plane-extended Linearization layout
+    (graph/planes.linearize_with_planes): landmark blocks occupy Hll[:L] /
+    gl[:3L], plane blocks the tail."""
+    L = landmarks.shape[0]
+    dtype = lin.Hpp.dtype
+    ep, el = _prior_coords(prior, poses, landmarks)
+    ep = ep.astype(dtype)
+    el = el.astype(dtype)
+
+    r6 = (6 * prior.p_idx[:, None] + jnp.arange(6)[None, :]).reshape(-1)
+    Hpp = lin.Hpp.at[r6[:, None], r6[None, :]].add(prior.Hp)
+    gp = lin.gp.at[r6].add(prior.gp0 + prior.Hp @ ep)
+
+    chi_pl, gpl = _plane_prior_terms(prior, planes)
+    Hll = lin.Hll.at[:L].add(prior.Hl).at[L:].add(prior.Hpl)
+    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
+    gl = lin.gl + jnp.concatenate([gl_add.reshape(-1), gpl.astype(dtype).reshape(-1)])
+
+    chi2 = lin.chi2 + prior_chi2(prior, poses, landmarks) + chi_pl
     return Linearization(Hpp, lin.W, Hll, gp, gl, chi2)
 
 
@@ -230,10 +298,9 @@ def _stable_partition(keep: jax.Array) -> jax.Array:
     return jnp.argsort(keys)
 
 
-@partial(jax.jit, static_argnames=("drop",))
-def marginalize(
-    g: GraphState, prior: MarginalPrior, drop: int
-) -> tuple[GraphState, MarginalPrior, jax.Array]:
+def _marginalize_impl(
+    g: GraphState, prior: MarginalPrior, drop: int, pn=None
+):
     """Marginalize the oldest ``drop`` keyframes; compact the graph.
 
     Returns ``(graph', prior', num_boundary)``. ``num_boundary`` is the
@@ -276,6 +343,36 @@ def marginalize(
     )
     c_anchor = jnp.einsum("ea,eab,eb->", r_l, e_info, r_l)
 
+    # ---- planar-patch mode: anchored plane priors + pose-side blocks -----
+    if pn is not None:
+        pe_drop = pn.pe_mask() & (pn.pe_k < drop)
+        sel_p = pe_drop.astype(dtype)
+        p_info = pn.pe_info * sel_p[:, None, None]
+        from semantic_slam_tpu.graph.planes import _plane_edge_jac
+
+        r_pe, Jk_pe, Jpl_pe = jax.vmap(_plane_edge_jac)(
+            poses[pn.pe_k], pn.planes[pn.pe_p], pn.pe_meas
+        )
+        JplT_O = jnp.einsum("eai,eab->eib", Jpl_pe, p_info)
+        Hpl_add = jnp.zeros_like(prior.Hpl).at[pn.pe_p].add(
+            jnp.einsum("eia,eaj->eij", JplT_O, Jpl_pe)
+        )
+        gpl_add = jnp.zeros_like(prior.gpl0).at[pn.pe_p].add(
+            jnp.einsum("eia,ea->ei", JplT_O, r_pe)
+        )
+        c_anchor_pl = jnp.einsum("ea,eab,eb->", r_pe, p_info, r_pe)
+        # re-center the old plane part to the current plane estimates
+        d_pl = jax.vmap(plane_local)(pn.planes, prior.pl_ref).astype(dtype)
+        Hpl_dpl = jnp.einsum("pij,pj->pi", prior.Hpl, d_pl)
+        plchi = 2.0 * jnp.sum(prior.gpl0 * d_pl) + jnp.sum(d_pl * Hpl_dpl)
+        gpl0_new = prior.gpl0 + Hpl_dpl + gpl_add
+        Hpl_new = prior.Hpl + Hpl_add
+    else:
+        c_anchor_pl = jnp.zeros((), dtype)
+        plchi = jnp.zeros((), dtype)
+        gpl0_new = prior.gpl0
+        Hpl_new = prior.Hpl
+
     # ---- re-center the old prior's landmark part to current estimates ----
     d_l = (landmarks - prior.l_ref).astype(dtype)
     Hl_dl = jnp.einsum("lij,lj->li", prior.Hl, d_l)
@@ -309,6 +406,11 @@ def marginalize(
     JpT_O = jnp.einsum("eai,eab->eib", Jp, e_info)
     Hf = Hf.at[g.lme_k, g.lme_k].add(jnp.einsum("eia,eaj->eij", JpT_O, Jp))
     gf = gf.at[g.lme_k].add(jnp.einsum("eia,ea->ei", JpT_O, r_l))
+    if pn is not None:
+        # pose-side blocks of dropped SE3-plane edges (cross to plane dropped)
+        JkT_O = jnp.einsum("eai,eab->eib", Jk_pe, p_info)
+        Hf = Hf.at[pn.pe_k, pn.pe_k].add(jnp.einsum("eia,eaj->eij", JkT_O, Jk_pe))
+        gf = gf.at[pn.pe_k].add(jnp.einsum("eia,ea->ei", JkT_O, r_pe))
 
     # fold the old prior's pose part, linearized at the current poses
     ep_old = jax.vmap(_pose_local)(poses[prior.p_idx], prior.p_ref).reshape(-1)
@@ -384,7 +486,10 @@ def marginalize(
         Hl=Hl_new,
         l_ref=landmarks,
         gl0=gl0_new,
-        c0=c_pose + lchi + c_anchor,
+        c0=c_pose + lchi + c_anchor + plchi + c_anchor_pl,
+        Hpl=Hpl_new,
+        pl_ref=pn.planes if pn is not None else prior.pl_ref,
+        gpl0=gpl0_new,
     )
 
     # ---- compaction ------------------------------------------------------
@@ -412,4 +517,32 @@ def marginalize(
         lme_info=g.lme_info[pe],
         num_lme=jnp.sum(keep_e.astype(jnp.int32)),
     )
-    return g2, prior_new, num_b
+    if pn is None:
+        return g2, prior_new, num_b
+    keep_pe = pn.pe_mask() & ~pe_drop
+    pp = _stable_partition(keep_pe)
+    pn2 = pn._replace(
+        pe_k=sub(pn.pe_k[pp]),
+        pe_p=pn.pe_p[pp],
+        pe_meas=pn.pe_meas[pp],
+        pe_info=pn.pe_info[pp],
+        num_pe=jnp.sum(keep_pe.astype(jnp.int32)),
+    )
+    return g2, pn2, prior_new, num_b
+
+
+@partial(jax.jit, static_argnames=("drop",))
+def marginalize(
+    g: GraphState, prior: MarginalPrior, drop: int
+) -> tuple[GraphState, MarginalPrior, jax.Array]:
+    return _marginalize_impl(g, prior, drop, pn=None)
+
+
+@partial(jax.jit, static_argnames=("drop",))
+def marginalize_planes(g: GraphState, pn, prior: MarginalPrior, drop: int):
+    """Planar-patch-mode marginalization: additionally converts dropped
+    SE3-plane edges into anchored plane-tangent priors (their pose-side
+    blocks join the pose marginalization; the pose-plane cross term is
+    sparsified like the point case) and compacts the plane edge arrays.
+    Returns ``(graph', planes', prior', num_boundary)``."""
+    return _marginalize_impl(g, prior, drop, pn=pn)

@@ -168,6 +168,50 @@ def test_sharded_pcg_prior_matches_single_chip(optimized_graph):
     assert float(ss.chi2_final) == pytest.approx(float(s1.chi2_final), rel=1e-6)
 
 
+def test_plane_marginalization_chi2_consistent(optimized_graph):
+    """Planar-patch marginalization: dropped SE3-plane edges become anchored
+    plane-tangent priors; the objective stays consistent at a converged
+    estimate and a re-solve with the prior stays put."""
+    from semantic_slam_tpu.graph import planes as planes_ext
+    from semantic_slam_tpu.solver.plane_ba import observe_plane
+
+    g = optimized_graph
+    n_act = int(g.num_poses)
+    # attach a plane observed from several keyframes (incl. soon-dropped ones)
+    pn = planes_ext.make_planes(4, 32, dtype=jnp.float32)
+    plane_w = jnp.asarray([0.0, 0.0, 1.0, -1.2], jnp.float32)
+    pn, pid = planes_ext.add_plane_node(pn, plane_w)
+    info3 = jnp.eye(3, dtype=jnp.float32) * 25.0
+    for k in range(0, min(n_act, 16), 2):
+        obs = observe_plane(g.poses[k], plane_w)
+        pn = planes_ext.add_se3_plane_edge(pn, k, pid, obs, info3)
+
+    g2, pn2, stats = planes_ext.lm_optimize_with_planes(g, pn, max_iterations=30)
+    chi_full = float(
+        planes_ext.chi2_with_planes(g2, pn2)
+    )
+
+    prior0 = fl.empty_prior(L, Pl=4)
+    g3, pn3, prior, nb = fl.marginalize_planes(g2, pn2, prior0, drop=DROP)
+    assert int(nb) <= prior.max_poses
+    # plane edges from dropped poses removed; plane node survives
+    assert int(pn3.num_planes) == int(pn2.num_planes)
+    lk = np.asarray(pn2.pe_k)[: int(pn2.num_pe)]
+    assert int(pn3.num_pe) == int((lk >= DROP).sum())
+    chi_marg = float(planes_ext.chi2_with_planes(g3, pn3)) + float(
+        fl.prior_chi2_planes(prior, g3.poses, g3.landmarks, pn3.planes)
+    )
+    assert chi_marg == pytest.approx(chi_full, rel=8e-2, abs=2e-2)
+
+    # re-solving with the prior keeps the full-batch solution
+    g4, pn4, _ = planes_ext.lm_optimize_with_planes(
+        g3, pn3, max_iterations=30, prior=prior
+    )
+    ref = np.asarray(g2.poses)[DROP:n_act, :3]
+    got = np.asarray(g4.poses)[: n_act - DROP, :3]
+    assert np.sqrt(np.mean((got - ref) ** 2)) < 2e-2
+
+
 def test_marginals_with_prior_are_psd(optimized_graph):
     g2, prior, _ = fl.marginalize(optimized_graph, fl.empty_prior(L), drop=DROP)
     sig = np.asarray(fl.landmark_marginals_prior(g2, prior))

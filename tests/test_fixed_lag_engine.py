@@ -105,6 +105,33 @@ class TestFixedLagEngine:
         assert eng._kf_base > 0
         assert len(eng.get_keyframe_poses()) == len(eng.keyframes)
 
+    def test_plane_mode_fixed_lag(self):
+        """Planar-patch mode + fixed lag: bounded window, plane edges of
+        dropped keyframes absorbed into anchored plane priors, ATE bound."""
+        cfg = dataclasses.replace(fl_config(), use_plane_landmarks=True)
+        log = synth_mod.make_synthetic_log(
+            seed=3, n_steps=360, sensor_every=5, drift_noise=0.008, loops=2.0
+        )
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        assert eng._kf_base > 0
+        assert eng._n_poses < WINDOW + CHUNK
+        assert int(eng.plane_nodes.num_planes) == int(eng.graph.num_landmarks)
+        # plane edges referencing dropped keyframes are gone
+        n_pe = int(eng.plane_nodes.num_pe)
+        if n_pe:
+            assert np.asarray(eng.plane_nodes.pe_k)[:n_pe].min() >= 0
+            assert np.asarray(eng.plane_nodes.pe_k)[:n_pe].max() < eng._n_poses
+        # accumulated plane-prior information exists once plane edges dropped
+        assert float(np.abs(np.asarray(eng.prior.Hpl)).sum()) > 0
+
+        gt_t = np.array([e.t for e in log.gt])
+        gt_xyz = np.stack([e.pose7[:3] for e in log.gt])
+        kf_t = np.array([k.stamp for k in eng.keyframes])
+        kf_xyz = eng.get_keyframe_poses()[:, :3]
+        ate_opt = ate_mod.ate_rmse(kf_t, kf_xyz, gt_t, gt_xyz, align=False)
+        assert np.isfinite(ate_opt) and ate_opt < 0.35
+
     def test_checkpoint_round_trip_keeps_prior(self, session, tmp_path):
         _, eng = session
         from semantic_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
