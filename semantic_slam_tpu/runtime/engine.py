@@ -600,18 +600,11 @@ def _optimize_tick_planes(
     matrix-free PCG per ``linear_solver``), then the same marginal recovery +
     table sync as the point path (the centroid is a point landmark, so gating
     behaves exactly as in point mode). ``prior`` (fixed-lag) folds into the
-    dense joint solve."""
+    joint solve on both solver paths."""
 
     def do_branch(operand):
         graph, table, pn = operand
-        if prior is not None:
-            graph, pn, stats = planes_ext.lm_optimize_with_planes(
-                graph, pn, max_iterations=max_iterations, min_edges=min_edges,
-                rel_tol=rel_tol,
-                robust_kind=robust_kind, robust_delta=robust_delta,
-                init_lambda=init_lambda, prior=prior,
-            )
-        elif linear_solver == "pcg":
+        if linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
             graph, pn, stats = pcg_mod.lm_optimize_pcg_planes(
@@ -619,13 +612,14 @@ def _optimize_tick_planes(
                 rel_tol=rel_tol, max_cg_iters=pcg_iters,
                 robust_kind=robust_kind, robust_delta=robust_delta,
                 precond_kind=pcg_precond, init_lambda=init_lambda,
+                prior=prior,
             )
         else:
             graph, pn, stats = planes_ext.lm_optimize_with_planes(
                 graph, pn, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol,
                 robust_kind=robust_kind, robust_delta=robust_delta,
-                init_lambda=init_lambda,
+                init_lambda=init_lambda, prior=prior,
             )
         ran = (stats.iterations > 0) & (table.count > 0)
         if prior is not None:
@@ -720,15 +714,6 @@ class SlamEngine:
         self._kf_base = 0  # keyframes marginalized out of the graph so far
         # optimized poses of marginalized keyframes (archived at drop time)
         self.archived_poses: list[np.ndarray] = []
-        if (
-            config.solver.fixed_lag_window > 0
-            and config.use_plane_landmarks
-            and config.solver.linear_solver != "dense"
-        ):
-            raise ValueError(
-                "fixed_lag_window with use_plane_landmarks requires "
-                "linear_solver='dense'"
-            )
 
         # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
         self._ticks_done = 0

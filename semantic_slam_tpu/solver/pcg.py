@@ -164,6 +164,35 @@ def apply_prior_blocks(eb: EdgeBlocks, prior, poses, landmarks) -> EdgeBlocks:
     )
 
 
+def apply_prior_blocks_planes(
+    eb: EdgeBlocks, prior, poses, landmarks, planes
+) -> EdgeBlocks:
+    """``apply_prior_blocks`` for plane-extended edge blocks
+    (build_edge_blocks_with_planes): the prior's plane part lands on the
+    appended plane rows ``Hll[L:]`` / ``gl[L:]``; pose and point parts are
+    identical to the point path. Replicated/post-psum like the point case."""
+    from semantic_slam_tpu.solver import fixed_lag as fl
+
+    dtype = eb.gp.dtype
+    L = landmarks.shape[0]
+    PB = prior.p_idx.shape[0]
+    ep, el = fl._prior_coords(prior, poses, landmarks)
+    ep = ep.astype(dtype)
+    el = el.astype(dtype)
+    gp_add = (prior.gp0 + prior.Hp @ ep).reshape(PB, 6)
+    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
+    chi_pl, gpl = fl._plane_prior_terms(prior, planes)
+    Hp4 = prior.Hp.reshape(PB, 6, PB, 6).transpose(0, 2, 1, 3)
+    diag_add = Hp4[jnp.arange(PB), jnp.arange(PB)]  # [PB, 6, 6]
+    return eb._replace(
+        Hll=eb.Hll.at[:L].add(prior.Hl).at[L:].add(prior.Hpl),
+        gp=eb.gp.at[prior.p_idx].add(gp_add),
+        gl=eb.gl.at[:L].add(gl_add).at[L:].add(gpl.astype(dtype)),
+        diag=eb.diag.at[prior.p_idx].add(diag_add),
+        chi2=eb.chi2 + fl.prior_chi2(prior, poses, landmarks) + chi_pl,
+    )
+
+
 def reduced_matvec(
     eb: EdgeBlocks, Ainv: jax.Array, lam, pose_free, x: jax.Array,
     allreduce: Callable, prior=None,
@@ -560,10 +589,12 @@ def run_lm_loop_pcg_planes(
     robust_delta: float = 1.0,
     precond_kind: str = "jacobi",
     init_lambda=0.0,
+    prior=None,
 ):
     """Nielsen-damped LM over poses + point landmarks + plane landmarks with
     the matrix-free PCG inner solver (scaling-path analog of
-    ``graph/planes.lm_optimize_with_planes``)."""
+    ``graph/planes.lm_optimize_with_planes``). ``prior`` (fixed-lag
+    MarginalPrior incl. plane part) is folded into every linearization."""
     from semantic_slam_tpu.graph import residuals as gres
     from semantic_slam_tpu.solver.plane_ba import plane_retract
 
@@ -579,13 +610,21 @@ def run_lm_loop_pcg_planes(
         r_p = jax.vmap(gres.se3_plane_residual)(p[pe_k], pl[pe_p], pe_meas)
         chi_p = jnp.einsum("ei,eij,ej->e", r_p, pe_info, r_p)
         chi_p = robust_rho(chi_p, robust_kind, robust_delta)
-        return allreduce(base + jnp.sum(chi_p * pe_mask.astype(dtype)))
+        out = allreduce(base + jnp.sum(chi_p * pe_mask.astype(dtype)))
+        if prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            out = out + fl.prior_chi2_planes(prior, p, l, pl)
+        return out
 
     def build(p, l, pl):
-        return build_edge_blocks_with_planes(
+        eb = build_edge_blocks_with_planes(
             p, l, pl, edge_args, plane_args, allreduce,
             robust_kind=robust_kind, robust_delta=robust_delta,
         )
+        if prior is not None:
+            eb = apply_prior_blocks_planes(eb, prior, p, l, pl)
+        return eb
 
     eb0 = build(poses, landmarks, planes)
     chi2_0 = eb0.chi2
@@ -612,7 +651,7 @@ def run_lm_loop_pcg_planes(
         p, l, pl, eb, lam, nu, it, done = carry
         dp, db = schur_pcg_step(
             eb, lam, pose_free, block_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind,
+            precond_kind=precond_kind, prior=prior,
         )
         p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
         chi2_new = chi2_fn(p_new, l_new, pl_new)
@@ -665,6 +704,7 @@ def lm_optimize_pcg_planes(
     robust_delta: float = 1.0,
     precond_kind: str = "jacobi",
     init_lambda=0.0,
+    prior=None,
 ):
     """Single-chip matrix-free planar-patch LM (drop-in for
     ``graph/planes.lm_optimize_with_planes`` on the scaling path)."""
@@ -675,7 +715,7 @@ def lm_optimize_pcg_planes(
         pose_free, lm_free, pn.plane_mask(), lambda x: x,
         max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
-        precond_kind=precond_kind, init_lambda=init_lambda,
+        precond_kind=precond_kind, init_lambda=init_lambda, prior=prior,
     )
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(
@@ -709,10 +749,13 @@ def sharded_lm_optimize_pcg_planes(
     rel_tol: float = 1e-6,
     max_cg_iters: int = 128,
     precond_kind: str = "jacobi",
+    prior=None,
 ):
     """Edge-sharded planar-patch LM: odometry, point-observation AND plane
     edges all sharded over the mesh; node arrays replicated; psum traffic per
-    CG step is [6K] + [3(L+Pl)]."""
+    CG step is [6K] + [3(L+Pl)]. ``prior`` (fixed-lag MarginalPrior incl.
+    plane part) is replicated; its blocks are folded post-psum on every
+    shard."""
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis_name]
@@ -726,29 +769,54 @@ def sharded_lm_optimize_pcg_planes(
     edge_args = _edge_args(g)
     plane_args = (pn.pe_k, pn.pe_p, pn.pe_meas, pn.pe_info, pn.pe_mask())
 
-    def body(poses, landmarks, planes, pose_free, lm_free, plane_free, edges, pargs):
+    def body(
+        poses, landmarks, planes, pose_free, lm_free, plane_free,
+        prior, edges, pargs,
+    ):
         return run_lm_loop_pcg_planes(
             poses, landmarks, planes, edges, pargs, pose_free, lm_free,
             plane_free, lambda x: jax.lax.psum(x, axis_name),
             max_iterations, rel_tol, max_cg_iters,
-            precond_kind=precond_kind,
+            precond_kind=precond_kind, prior=prior,
         )
 
+    prior_spec = None if prior is None else type(prior)(*(P() for _ in prior))
+
+    def body_no_prior(
+        poses, landmarks, planes, pose_free, lm_free, plane_free, edges, pargs
+    ):
+        return body(
+            poses, landmarks, planes, pose_free, lm_free, plane_free,
+            None, edges, pargs,
+        )
+
+    node_specs = (P(), P(), P(), P(), P(), P())
+    e_specs = (
+        tuple(P(axis_name) for _ in edge_args),
+        tuple(P(axis_name) for _ in plane_args),
+    )
     sharded = jax.shard_map(
-        body,
+        body_no_prior if prior is None else body,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(), P(), P(), P(),
-            tuple(P(axis_name) for _ in edge_args),
-            tuple(P(axis_name) for _ in plane_args),
+            node_specs + e_specs
+            if prior is None
+            else node_specs + (prior_spec,) + e_specs
         ),
         out_specs=(P(), P(), P(), LMStats(P(), P(), P(), P())),
         check_vma=False,
     )
-    poses, landmarks, planes, stats = sharded(
+    node_args = (
         g.poses, g.landmarks, pn.planes, pose_free, lm_free, pn.plane_mask(),
-        edge_args, plane_args,
     )
+    if prior is None:
+        poses, landmarks, planes, stats = sharded(
+            *node_args, edge_args, plane_args
+        )
+    else:
+        poses, landmarks, planes, stats = sharded(
+            *node_args, prior, edge_args, plane_args
+        )
 
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(

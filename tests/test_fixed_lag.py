@@ -168,16 +168,12 @@ def test_sharded_pcg_prior_matches_single_chip(optimized_graph):
     assert float(ss.chi2_final) == pytest.approx(float(s1.chi2_final), rel=1e-6)
 
 
-def test_plane_marginalization_chi2_consistent(optimized_graph):
-    """Planar-patch marginalization: dropped SE3-plane edges become anchored
-    plane-tangent priors; the objective stays consistent at a converged
-    estimate and a re-solve with the prior stays put."""
+def _attach_plane(g):
+    """Plane node observed from several keyframes (incl. soon-dropped ones)."""
     from semantic_slam_tpu.graph import planes as planes_ext
     from semantic_slam_tpu.solver.plane_ba import observe_plane
 
-    g = optimized_graph
     n_act = int(g.num_poses)
-    # attach a plane observed from several keyframes (incl. soon-dropped ones)
     pn = planes_ext.make_planes(4, 32, dtype=jnp.float32)
     plane_w = jnp.asarray([0.0, 0.0, 1.0, -1.2], jnp.float32)
     pn, pid = planes_ext.add_plane_node(pn, plane_w)
@@ -185,6 +181,18 @@ def test_plane_marginalization_chi2_consistent(optimized_graph):
     for k in range(0, min(n_act, 16), 2):
         obs = observe_plane(g.poses[k], plane_w)
         pn = planes_ext.add_se3_plane_edge(pn, k, pid, obs, info3)
+    return pn
+
+
+def test_plane_marginalization_chi2_consistent(optimized_graph):
+    """Planar-patch marginalization: dropped SE3-plane edges become anchored
+    plane-tangent priors; the objective stays consistent at a converged
+    estimate and a re-solve with the prior stays put."""
+    from semantic_slam_tpu.graph import planes as planes_ext
+
+    g = optimized_graph
+    n_act = int(g.num_poses)
+    pn = _attach_plane(g)
 
     g2, pn2, stats = planes_ext.lm_optimize_with_planes(g, pn, max_iterations=30)
     chi_full = float(
@@ -210,6 +218,57 @@ def test_plane_marginalization_chi2_consistent(optimized_graph):
     ref = np.asarray(g2.poses)[DROP:n_act, :3]
     got = np.asarray(g4.poses)[: n_act - DROP, :3]
     assert np.sqrt(np.mean((got - ref) ** 2)) < 2e-2
+
+
+def test_pcg_plane_prior_matches_dense(optimized_graph):
+    """Plane-extended PCG with a fixed-lag prior lands on the dense joint
+    solve, single-chip and sharded."""
+    from semantic_slam_tpu.graph import planes as planes_ext
+    from semantic_slam_tpu.parallel.sharded import make_mesh
+    from semantic_slam_tpu.solver import pcg as pcg_mod
+
+    g = optimized_graph
+    pn = _attach_plane(g)
+    g2, pn2, _ = planes_ext.lm_optimize_with_planes(g, pn, max_iterations=30)
+    g3, pn3, prior, _ = fl.marginalize_planes(
+        g2, pn2, fl.empty_prior(L, Pl=4), drop=DROP
+    )
+
+    # perturb the window; re-solve with the prior on all three paths
+    rng = np.random.default_rng(2)
+    noisy = np.asarray(g3.poses).copy()
+    n_act = int(g3.num_poses)
+    noisy[1:n_act, :3] += rng.normal(scale=0.03, size=(n_act - 1, 3))
+    g_noisy = g3._replace(poses=jnp.asarray(noisy))
+
+    gd, pnd, sd = planes_ext.lm_optimize_with_planes(
+        g_noisy, pn3, max_iterations=40, prior=prior
+    )
+    gp, pnp, sp = pcg_mod.lm_optimize_pcg_planes(
+        g_noisy, pn3, max_iterations=40, max_cg_iters=128, prior=prior
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp.poses)[:n_act, :3],
+        np.asarray(gd.poses)[:n_act, :3],
+        atol=3e-3,
+    )
+    assert float(sp.chi2_final) == pytest.approx(float(sd.chi2_final), rel=2e-2)
+
+    mesh = make_mesh(4)
+    gs_, pns, ss = pcg_mod.sharded_lm_optimize_pcg_planes(
+        g_noisy, pn3, mesh, max_iterations=20, prior=prior
+    )
+    g1, pn1, s1 = pcg_mod.lm_optimize_pcg_planes(
+        g_noisy, pn3, max_iterations=20, prior=prior
+    )
+    # f32 reduction-order noise between the psum'd and single-chip paths
+    np.testing.assert_allclose(
+        np.asarray(gs_.poses)[:n_act], np.asarray(g1.poses)[:n_act], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pns.planes), np.asarray(pn1.planes), atol=1e-5
+    )
+    assert float(ss.chi2_final) == pytest.approx(float(s1.chi2_final), rel=1e-5)
 
 
 def test_marginals_with_prior_are_psd(optimized_graph):

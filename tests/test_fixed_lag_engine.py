@@ -105,10 +105,15 @@ class TestFixedLagEngine:
         assert eng._kf_base > 0
         assert len(eng.get_keyframe_poses()) == len(eng.keyframes)
 
-    def test_plane_mode_fixed_lag(self):
-        """Planar-patch mode + fixed lag: bounded window, plane edges of
-        dropped keyframes absorbed into anchored plane priors, ATE bound."""
+    @pytest.mark.parametrize("solver", ["dense", "pcg"])
+    def test_plane_mode_fixed_lag(self, solver):
+        """Planar-patch mode + fixed lag on both linear solvers: bounded
+        window, plane edges of dropped keyframes absorbed into anchored
+        plane priors, ATE bound."""
         cfg = dataclasses.replace(fl_config(), use_plane_landmarks=True)
+        cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, linear_solver=solver)
+        )
         log = synth_mod.make_synthetic_log(
             seed=3, n_steps=360, sensor_every=5, drift_noise=0.008, loops=2.0
         )
