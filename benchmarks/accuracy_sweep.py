@@ -66,10 +66,15 @@ MODES = {
     "points": dict(use_plane_landmarks=False, robust="none"),
     "patches": dict(use_plane_landmarks=True, robust="none"),
     "patches+huber": dict(use_plane_landmarks=True, robust="huber"),
+    # bounded-memory fixed-lag smoothing: same ATE bounds as full history
+    "points+fl": dict(use_plane_landmarks=False, robust="none", fixed_lag=24),
+    "patches+fl": dict(use_plane_landmarks=True, robust="none", fixed_lag=24),
 }
 
 
-def sweep_config(use_plane_landmarks: bool, robust: str) -> SlamConfig:
+def sweep_config(
+    use_plane_landmarks: bool, robust: str, fixed_lag: int = 0
+) -> SlamConfig:
     return SlamConfig(
         camera_angle_deg=0.0,
         strict_reference_frames=True,
@@ -89,7 +94,8 @@ def sweep_config(use_plane_landmarks: bool, robust: str) -> SlamConfig:
         ),
         solver=SolverConfig(
             max_iterations=32, dtype="float64", robust_kernel=robust,
-            robust_delta=1.0,
+            robust_delta=1.0, fixed_lag_window=fixed_lag,
+            fixed_lag_chunk=8 if fixed_lag else 0,
         ),
         capacity=CapacityConfig(
             max_keyframes=128, max_landmarks=32, max_odom_edges=128,
@@ -100,7 +106,13 @@ def sweep_config(use_plane_landmarks: bool, robust: str) -> SlamConfig:
 
 def run_one(scene_kw: dict, mode_kw: dict, steps: int, seed: int = 3):
     log = synth_mod.make_synthetic_log(seed=seed, n_steps=steps, **scene_kw)
-    eng = SlamEngine(sweep_config(mode_kw["use_plane_landmarks"], mode_kw["robust"]))
+    eng = SlamEngine(
+        sweep_config(
+            mode_kw["use_plane_landmarks"],
+            mode_kw["robust"],
+            mode_kw.get("fixed_lag", 0),
+        )
+    )
     replay_mod.replay(log, eng)
 
     gt_t = np.array([e.t for e in log.gt])

@@ -37,6 +37,10 @@ def main():
         help="fixed-lag window (0 = reference full-history); bounds per-tick "
         "solve cost on long sessions",
     )
+    ap.add_argument(
+        "--plane-landmarks", action="store_true",
+        help="planar-patch landmark mode (joint pose+point+plane BA)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -65,6 +69,8 @@ def main():
         solver_kw["fixed_lag_window"] = args.fixed_lag
     if solver_kw:
         cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
+    if args.plane_landmarks:
+        cfg = cfg.replace(use_plane_landmarks=True)
 
     print(f"generating {args.steps}-step session at {args.width}x{args.height}...")
     log = synth_mod.make_synthetic_log(
