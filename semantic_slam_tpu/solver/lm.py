@@ -95,16 +95,26 @@ def linearize_arrays(
     lme_mask: jax.Array,  # [E2] bool
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    assembly: str = "auto",
 ) -> Linearization:
-    """Edge-parallel linearization + block scatter-accumulation.
+    """Edge-parallel linearization + block accumulation.
 
     Edge arrays may be any (sharded) slice of the graph; masked-out entries
     contribute exactly zero, so summing Linearizations across shards (psum)
     reconstructs the global system.
+
+    ``assembly``: 'scatter' accumulates blocks with ``at[].add`` (fast on
+    CPU); 'matmul' assembles via one-hot segment-sum matmuls on the MXU
+    (solver/assembly.py — TPU scatters serialize per index and dominate the
+    iteration otherwise); 'auto' picks per backend. Results are equal up to
+    f32 summation order.
     """
+    from semantic_slam_tpu.solver import assembly as asm
+
     K = poses.shape[0]
     L = landmarks.shape[0]
     dtype = poses.dtype
+    use_mm = asm.resolve_assembly(assembly) == "matmul"
 
     # --- SE3-SE3 odometry edges ------------------------------------------
     om = odom_mask.astype(dtype)
@@ -121,14 +131,26 @@ def linearize_arrays(
     g_j = jnp.einsum("eia,ea->ei", JjT_O, r_o)
     chi_o = jnp.einsum("ea,eab,eb->", r_o, o_info, r_o)
 
-    Hpp = jnp.zeros((K, K, 6, 6), dtype)
-    Hpp = Hpp.at[odom_i, odom_i].add(H_ii)
-    Hpp = Hpp.at[odom_i, odom_j].add(H_ij)
-    Hpp = Hpp.at[odom_j, odom_i].add(jnp.swapaxes(H_ij, -1, -2))
-    Hpp = Hpp.at[odom_j, odom_j].add(H_jj)
-    gp = jnp.zeros((K, 6), dtype)
-    gp = gp.at[odom_i].add(g_i)
-    gp = gp.at[odom_j].add(g_j)
+    if use_mm:
+        # [K,6,K,6] block grid; off-diagonal via one-hot cross matmuls,
+        # diagonal via segment-sum + eye embed (includes H_kk below)
+        Hpp4_off = asm.cross_block_mm(odom_i, odom_j, H_ij, K, K)
+        Hpp4_off = Hpp4_off + jnp.transpose(Hpp4_off, (2, 3, 0, 1))
+        Dpp = asm.segment_sum_mm(odom_i, H_ii, K) + asm.segment_sum_mm(
+            odom_j, H_jj, K
+        )
+        gp = asm.segment_sum_mm(odom_i, g_i, K) + asm.segment_sum_mm(
+            odom_j, g_j, K
+        )
+    else:
+        Hpp = jnp.zeros((K, K, 6, 6), dtype)
+        Hpp = Hpp.at[odom_i, odom_i].add(H_ii)
+        Hpp = Hpp.at[odom_i, odom_j].add(H_ij)
+        Hpp = Hpp.at[odom_j, odom_i].add(jnp.swapaxes(H_ij, -1, -2))
+        Hpp = Hpp.at[odom_j, odom_j].add(H_jj)
+        gp = jnp.zeros((K, 6), dtype)
+        gp = gp.at[odom_i].add(g_i)
+        gp = gp.at[odom_j].add(g_j)
 
     # --- SE3-point landmark edges ----------------------------------------
     lmm = lme_mask.astype(dtype)
@@ -153,17 +175,25 @@ def linearize_arrays(
     g_k = jnp.einsum("eia,ea->ei", JpT_O, r_l)
     g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
 
-    Hpp = Hpp.at[lme_k, lme_k].add(H_kk)
-    gp = gp.at[lme_k].add(g_k)
-    W = jnp.zeros((K, L, 6, 3), dtype)
-    W = W.at[lme_k, lme_l].add(W_kl)
-    Hll = jnp.zeros((L, 3, 3), dtype)
-    Hll = Hll.at[lme_l].add(H_ll)
-    gl = jnp.zeros((L, 3), dtype)
-    gl = gl.at[lme_l].add(g_l)
+    if use_mm:
+        Dpp = Dpp + asm.segment_sum_mm(lme_k, H_kk, K)
+        gp = gp + asm.segment_sum_mm(lme_k, g_k, K)
+        Hpp2 = (Hpp4_off + asm.diag_embed_blocks(Dpp)).reshape(6 * K, 6 * K)
+        W2 = asm.cross_block_mm(lme_k, lme_l, W_kl, K, L).reshape(6 * K, 3 * L)
+        Hll = asm.segment_sum_mm(lme_l, H_ll, L)
+        gl = asm.segment_sum_mm(lme_l, g_l, L)
+    else:
+        Hpp = Hpp.at[lme_k, lme_k].add(H_kk)
+        gp = gp.at[lme_k].add(g_k)
+        W = jnp.zeros((K, L, 6, 3), dtype)
+        W = W.at[lme_k, lme_l].add(W_kl)
+        Hll = jnp.zeros((L, 3, 3), dtype)
+        Hll = Hll.at[lme_l].add(H_ll)
+        gl = jnp.zeros((L, 3), dtype)
+        gl = gl.at[lme_l].add(g_l)
 
-    Hpp2 = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(6 * K, 6 * K)
-    W2 = jnp.transpose(W, (0, 2, 1, 3)).reshape(6 * K, 3 * L)
+        Hpp2 = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(6 * K, 6 * K)
+        W2 = jnp.transpose(W, (0, 2, 1, 3)).reshape(6 * K, 3 * L)
     return Linearization(Hpp2, W2, Hll, gp.reshape(-1), gl.reshape(-1), chi_o + chi_l)
 
 

@@ -57,6 +57,20 @@ class EdgeBlocks(NamedTuple):
     chi2: jax.Array
 
 
+class OneHots(NamedTuple):
+    """Per-shard 0/1 selection matrices for matmul-form gather/scatter.
+
+    TPU scatters serialize per index; with these, every segment-sum in the
+    CG matvec becomes an MXU dot (solver/assembly.py rationale). Built once
+    per LM solve — the edge indices never change inside the loop.
+    """
+
+    Oi: jax.Array  # [E1, K]
+    Oj: jax.Array  # [E1, K]
+    Ok: jax.Array  # [E2, K]
+    Ol: jax.Array  # [E2, L]
+
+
 def build_edge_blocks(
     poses,
     landmarks,
@@ -73,6 +87,7 @@ def build_edge_blocks(
     allreduce: Callable,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    oh: OneHots | None = None,
 ) -> EdgeBlocks:
     K = poses.shape[0]
     L = landmarks.shape[0]
@@ -111,16 +126,31 @@ def build_edge_blocks(
     g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
     chi_l = chi_l_rho
 
-    gp = jnp.zeros((K, 6), dtype).at[odom_i].add(g_i).at[odom_j].add(g_j)
-    gp = gp.at[lme_k].add(g_k)
-    gl = jnp.zeros((L, 3), dtype).at[lme_l].add(g_l)
-    Hll = jnp.zeros((L, 3, 3), dtype).at[lme_l].add(H_ll_e)
-    diag = (
-        jnp.zeros((K, 6, 6), dtype)
-        .at[odom_i].add(H_ii)
-        .at[odom_j].add(H_jj)
-        .at[lme_k].add(H_kk)
-    )
+    if oh is not None:
+        # segment sums as MXU matmuls (solver/assembly.py rationale); the
+        # one-hot slices cover exactly this function's point edges
+        Oi, Oj = oh.Oi, oh.Oj
+        Ok, Ol = oh.Ok[: lme_k.shape[0]], oh.Ol[: lme_k.shape[0], :L]
+        gp = jnp.einsum("ek,ei->ki", Oi, g_i) + jnp.einsum("ek,ei->ki", Oj, g_j)
+        gp = gp + jnp.einsum("ek,ei->ki", Ok, g_k)
+        gl = jnp.einsum("el,ei->li", Ol, g_l)
+        Hll = jnp.einsum("el,eij->lij", Ol, H_ll_e)
+        diag = (
+            jnp.einsum("ek,eij->kij", Oi, H_ii)
+            + jnp.einsum("ek,eij->kij", Oj, H_jj)
+            + jnp.einsum("ek,eij->kij", Ok, H_kk)
+        )
+    else:
+        gp = jnp.zeros((K, 6), dtype).at[odom_i].add(g_i).at[odom_j].add(g_j)
+        gp = gp.at[lme_k].add(g_k)
+        gl = jnp.zeros((L, 3), dtype).at[lme_l].add(g_l)
+        Hll = jnp.zeros((L, 3, 3), dtype).at[lme_l].add(H_ll_e)
+        diag = (
+            jnp.zeros((K, 6, 6), dtype)
+            .at[odom_i].add(H_ii)
+            .at[odom_j].add(H_jj)
+            .at[lme_k].add(H_kk)
+        )
 
     return EdgeBlocks(
         oi=odom_i,
@@ -195,33 +225,57 @@ def apply_prior_blocks_planes(
 
 def reduced_matvec(
     eb: EdgeBlocks, Ainv: jax.Array, lam, pose_free, x: jax.Array,
-    allreduce: Callable, prior=None,
+    allreduce: Callable, prior=None, oh: OneHots | None = None,
 ) -> jax.Array:
-    """Apply the damped reduced operator to x [K,6] (free rows only)."""
+    """Apply the damped reduced operator to x [K,6] (free rows only).
+
+    With ``oh``, every gather/segment-sum runs as an MXU matmul instead of
+    a serialized TPU scatter — the dominant cost of a CG step otherwise."""
     K = x.shape[0]
     L = Ainv.shape[0]
     dtype = x.dtype
     x = x * pose_free[:, None]
 
-    # landmark gather: t = W^T x  (needs global reduction over shards)
-    t_loc = jnp.zeros((L, 3), dtype).at[eb.ll].add(
-        jnp.einsum("eij,ei->ej", eb.W_kl, x[eb.lk])
-    )
-    t = allreduce(t_loc)
-    z = jnp.einsum("lij,lj->li", Ainv, t)  # replicated
+    if oh is not None:
+        xi, xj, xk = oh.Oi @ x, oh.Oj @ x, oh.Ok @ x
+        t = allreduce(
+            jnp.einsum("el,ej->lj", oh.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, xk))
+        )
+        z = jnp.einsum("lij,lj->li", Ainv, t)  # replicated
+        vi = jnp.einsum("eij,ej->ei", eb.H_ii, xi) + jnp.einsum(
+            "eij,ej->ei", eb.H_ij, xj
+        )
+        vj = jnp.einsum("eji,ej->ei", eb.H_ij, xi) + jnp.einsum(
+            "eij,ej->ei", eb.H_jj, xj
+        )
+        vk = jnp.einsum("eij,ej->ei", eb.H_kk, xk) - jnp.einsum(
+            "eij,ej->ei", eb.W_kl, oh.Ol @ z
+        )
+        u = allreduce(
+            jnp.einsum("ek,ei->ki", oh.Oi, vi)
+            + jnp.einsum("ek,ei->ki", oh.Oj, vj)
+            + jnp.einsum("ek,ei->ki", oh.Ok, vk)
+        )
+    else:
+        # landmark gather: t = W^T x  (needs global reduction over shards)
+        t_loc = jnp.zeros((L, 3), dtype).at[eb.ll].add(
+            jnp.einsum("eij,ei->ej", eb.W_kl, x[eb.lk])
+        )
+        t = allreduce(t_loc)
+        z = jnp.einsum("lij,lj->li", Ainv, t)  # replicated
 
-    # pose scatter: edge-local contributions
-    u = jnp.zeros((K, 6), dtype)
-    xi, xj = x[eb.oi], x[eb.oj]
-    u = u.at[eb.oi].add(
-        jnp.einsum("eij,ej->ei", eb.H_ii, xi) + jnp.einsum("eij,ej->ei", eb.H_ij, xj)
-    )
-    u = u.at[eb.oj].add(
-        jnp.einsum("eji,ej->ei", eb.H_ij, xi) + jnp.einsum("eij,ej->ei", eb.H_jj, xj)
-    )
-    u = u.at[eb.lk].add(jnp.einsum("eij,ej->ei", eb.H_kk, x[eb.lk]))
-    u = u.at[eb.lk].add(-jnp.einsum("eij,ej->ei", eb.W_kl, z[eb.ll]))
-    u = allreduce(u)
+        # pose scatter: edge-local contributions
+        u = jnp.zeros((K, 6), dtype)
+        xi, xj = x[eb.oi], x[eb.oj]
+        u = u.at[eb.oi].add(
+            jnp.einsum("eij,ej->ei", eb.H_ii, xi) + jnp.einsum("eij,ej->ei", eb.H_ij, xj)
+        )
+        u = u.at[eb.oj].add(
+            jnp.einsum("eji,ej->ei", eb.H_ij, xi) + jnp.einsum("eij,ej->ei", eb.H_jj, xj)
+        )
+        u = u.at[eb.lk].add(jnp.einsum("eij,ej->ei", eb.H_kk, x[eb.lk]))
+        u = u.at[eb.lk].add(-jnp.einsum("eij,ej->ei", eb.W_kl, z[eb.ll]))
+        u = allreduce(u)
     if prior is not None:
         # dense boundary-pose prior block (replicated — added after psum).
         # NOTE: the prior's landmark part is inside eb.Hll, hence inside
@@ -244,6 +298,7 @@ def pcg_solve(
     tol: float = 1e-8,
     precond: Callable | None = None,
     prior=None,
+    oh: OneHots | None = None,
 ) -> jax.Array:
     """Preconditioned CG on the reduced camera system (block-Jacobi by
     default; pass ``precond`` for the block-tridiagonal chain variant)."""
@@ -272,7 +327,7 @@ def pcg_solve(
 
     def body(carry):
         x, r, p, rz, it = carry
-        Ap = reduced_matvec(eb, Ainv, lam, pf, p, allreduce, prior=prior)
+        Ap = reduced_matvec(eb, Ainv, lam, pf, p, allreduce, prior=prior, oh=oh)
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -295,6 +350,7 @@ def schur_pcg_step(
     max_cg_iters: int,
     precond_kind: str = "jacobi",
     prior=None,
+    oh: OneHots | None = None,
 ):
     """One damped Schur-eliminated solve on (possibly plane-extended) edge
     blocks: returns (dp [K,6], db [B,3]) where B = number of 3-dof landmark
@@ -330,18 +386,29 @@ def schur_pcg_step(
     gl = eb.gl * lmf[:, None]
     # b = -(gp - W A^-1 gl)
     y = jnp.einsum("lij,lj->li", Ainv, gl)
-    c_loc = jnp.zeros_like(eb.gp).at[eb.lk].add(
-        jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll])
-    )
+    if oh is not None:
+        c_loc = jnp.einsum(
+            "ek,ei->ki", oh.Ok, jnp.einsum("eij,ej->ei", eb.W_kl, oh.Ol @ y)
+        )
+    else:
+        c_loc = jnp.zeros_like(eb.gp).at[eb.lk].add(
+            jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll])
+        )
     b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
     dp = pcg_solve(
         eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters, precond=precond,
-        prior=prior,
+        prior=prior, oh=oh,
     )
     # back-substitute: db = Ainv(-gl - W^T dp)
-    t_loc = jnp.zeros_like(gl).at[eb.ll].add(
-        jnp.einsum("eij,ei->ej", eb.W_kl, (dp * pf[:, None])[eb.lk])
-    )
+    dpk = (dp * pf[:, None])
+    if oh is not None:
+        t_loc = jnp.einsum(
+            "el,ej->lj", oh.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, oh.Ok @ dpk)
+        )
+    else:
+        t_loc = jnp.zeros_like(gl).at[eb.ll].add(
+            jnp.einsum("eij,ei->ej", eb.W_kl, dpk[eb.lk])
+        )
     t = allreduce(t_loc)
     db = jnp.einsum("lij,lj->li", Ainv, (-gl - t)) * lmf[:, None]
     return dp, db
@@ -363,11 +430,27 @@ def run_lm_loop_pcg(
     init_lambda=0.0,
     precond_kind: str = "jacobi",
     prior=None,
+    assembly: str = "auto",
 ):
     """Nielsen-damped LM with the matrix-free PCG inner solver.
     ``init_lambda > 0`` (traced) warm-starts the damping. ``prior`` is a
-    fixed-lag MarginalPrior folded into every linearization (replicated)."""
+    fixed-lag MarginalPrior folded into every linearization (replicated).
+    ``assembly='matmul'`` (auto on TPU) runs every gather/segment-sum as a
+    one-hot matmul — edge indices never change inside the loop, so the
+    selection matrices are built once per solve."""
+    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
+
     dtype = poses.dtype
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    oh = None
+    if resolve_assembly(assembly) == "matmul":
+        oh = OneHots(
+            Oi=onehot(edge_args[0], K, dtype),
+            Oj=onehot(edge_args[1], K, dtype),
+            Ok=onehot(edge_args[5], K, dtype),
+            Ol=onehot(edge_args[6], L, dtype),
+        )
 
     def chi2_fn(p, l):
         base = allreduce(
@@ -381,7 +464,8 @@ def run_lm_loop_pcg(
 
     def build(p, l):
         eb = build_edge_blocks(
-            p, l, *edge_args, allreduce, robust_kind=robust_kind, robust_delta=robust_delta
+            p, l, *edge_args, allreduce, robust_kind=robust_kind,
+            robust_delta=robust_delta, oh=oh,
         )
         if prior is not None:
             eb = apply_prior_blocks(eb, prior, p, l)
@@ -401,7 +485,7 @@ def run_lm_loop_pcg(
     def solve(eb, lam):
         return schur_pcg_step(
             eb, lam, pose_free, lm_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind, prior=prior,
+            precond_kind=precond_kind, prior=prior, oh=oh,
         )
 
     def cond(carry):
@@ -461,7 +545,7 @@ def _edge_args(g: GraphState):
     jax.jit,
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
-        "robust_kind", "robust_delta", "precond_kind",
+        "robust_kind", "robust_delta", "precond_kind", "assembly",
     ),
 )
 def lm_optimize_pcg(
@@ -475,6 +559,7 @@ def lm_optimize_pcg(
     init_lambda=0.0,
     precond_kind: str = "jacobi",
     prior=None,
+    assembly: str = "auto",
 ):
     """Single-chip matrix-free LM (drop-in for lm_optimize)."""
     pose_free, lm_free = _free_masks(g)
@@ -483,6 +568,7 @@ def lm_optimize_pcg(
         lambda x: x, max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
         init_lambda=init_lambda, precond_kind=precond_kind, prior=prior,
+        assembly=assembly,
     )
     run = g.num_edges() >= min_edges
     g = g._replace(
@@ -512,12 +598,14 @@ def build_edge_blocks_with_planes(
     allreduce: Callable,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    oh: OneHots | None = None,
 ) -> EdgeBlocks:
     """Point edge blocks + SE3-plane edge blocks merged into ONE landmark
     block system: plane blocks are 3-dof (2 normal-tangent + offset) exactly
     like point blocks, so they append at indices ``L..L+Pl`` and the reduced
     camera operator/preconditioner are reused untouched (the matrix-free
-    analog of ``graph/planes.linearize_with_planes``)."""
+    analog of ``graph/planes.linearize_with_planes``). ``oh`` holds MERGED
+    selection matrices (point rows first, then plane rows)."""
     from semantic_slam_tpu.graph.planes import _plane_edge_jac
 
     K = poses.shape[0]
@@ -527,7 +615,7 @@ def build_edge_blocks_with_planes(
 
     eb = build_edge_blocks(
         poses, landmarks, *edge_args, allreduce,
-        robust_kind=robust_kind, robust_delta=robust_delta,
+        robust_kind=robust_kind, robust_delta=robust_delta, oh=oh,
     )
 
     pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
@@ -548,10 +636,19 @@ def build_edge_blocks_with_planes(
     g_p = jnp.einsum("eia,ea->ei", JpT_O, r_p)
     chi_p = chi_p_rho
 
-    Hll_p = jnp.zeros((Pl, 3, 3), dtype).at[pe_p].add(H_pp)
-    gl_p = jnp.zeros((Pl, 3), dtype).at[pe_p].add(g_p)
-    gp_add = jnp.zeros((K, 6), dtype).at[pe_k].add(g_k)
-    diag_add = jnp.zeros((K, 6, 6), dtype).at[pe_k].add(H_kk)
+    if oh is not None:
+        E2 = edge_args[5].shape[0]
+        Opk = oh.Ok[E2:]  # [E3, K]
+        Opl = oh.Ol[E2:, L:]  # [E3, Pl]
+        Hll_p = jnp.einsum("ep,eij->pij", Opl, H_pp)
+        gl_p = jnp.einsum("ep,ei->pi", Opl, g_p)
+        gp_add = jnp.einsum("ek,ei->ki", Opk, g_k)
+        diag_add = jnp.einsum("ek,eij->kij", Opk, H_kk)
+    else:
+        Hll_p = jnp.zeros((Pl, 3, 3), dtype).at[pe_p].add(H_pp)
+        gl_p = jnp.zeros((Pl, 3), dtype).at[pe_p].add(g_p)
+        gp_add = jnp.zeros((K, 6), dtype).at[pe_k].add(g_k)
+        diag_add = jnp.zeros((K, 6, 6), dtype).at[pe_k].add(H_kk)
 
     return EdgeBlocks(
         oi=eb.oi,
@@ -590,18 +687,35 @@ def run_lm_loop_pcg_planes(
     precond_kind: str = "jacobi",
     init_lambda=0.0,
     prior=None,
+    assembly: str = "auto",
 ):
     """Nielsen-damped LM over poses + point landmarks + plane landmarks with
     the matrix-free PCG inner solver (scaling-path analog of
     ``graph/planes.lm_optimize_with_planes``). ``prior`` (fixed-lag
     MarginalPrior incl. plane part) is folded into every linearization."""
     from semantic_slam_tpu.graph import residuals as gres
+    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
     from semantic_slam_tpu.solver.plane_ba import plane_retract
 
     dtype = poses.dtype
+    K = poses.shape[0]
     L = landmarks.shape[0]
+    Pl = planes.shape[0]
     block_free = jnp.concatenate([lm_free, plane_free])
     pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
+
+    oh = None
+    if resolve_assembly(assembly) == "matmul":
+        # merged observation selection: point edges hit blocks [0,L),
+        # plane edges the appended blocks [L, L+Pl)
+        oh = OneHots(
+            Oi=onehot(edge_args[0], K, dtype),
+            Oj=onehot(edge_args[1], K, dtype),
+            Ok=onehot(jnp.concatenate([edge_args[5], pe_k]), K, dtype),
+            Ol=onehot(
+                jnp.concatenate([edge_args[6], pe_p + L]), L + Pl, dtype
+            ),
+        )
 
     def chi2_fn(p, l, pl):
         base = chi2_arrays(
@@ -620,7 +734,7 @@ def run_lm_loop_pcg_planes(
     def build(p, l, pl):
         eb = build_edge_blocks_with_planes(
             p, l, pl, edge_args, plane_args, allreduce,
-            robust_kind=robust_kind, robust_delta=robust_delta,
+            robust_kind=robust_kind, robust_delta=robust_delta, oh=oh,
         )
         if prior is not None:
             eb = apply_prior_blocks_planes(eb, prior, p, l, pl)
@@ -651,7 +765,7 @@ def run_lm_loop_pcg_planes(
         p, l, pl, eb, lam, nu, it, done = carry
         dp, db = schur_pcg_step(
             eb, lam, pose_free, block_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind, prior=prior,
+            precond_kind=precond_kind, prior=prior, oh=oh,
         )
         p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
         chi2_new = chi2_fn(p_new, l_new, pl_new)
@@ -690,7 +804,7 @@ def run_lm_loop_pcg_planes(
     jax.jit,
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
-        "robust_kind", "robust_delta", "precond_kind",
+        "robust_kind", "robust_delta", "precond_kind", "assembly",
     ),
 )
 def lm_optimize_pcg_planes(
@@ -705,6 +819,7 @@ def lm_optimize_pcg_planes(
     precond_kind: str = "jacobi",
     init_lambda=0.0,
     prior=None,
+    assembly: str = "auto",
 ):
     """Single-chip matrix-free planar-patch LM (drop-in for
     ``graph/planes.lm_optimize_with_planes`` on the scaling path)."""
@@ -716,6 +831,7 @@ def lm_optimize_pcg_planes(
         max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
         precond_kind=precond_kind, init_lambda=init_lambda, prior=prior,
+        assembly=assembly,
     )
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(
@@ -736,7 +852,7 @@ def lm_optimize_pcg_planes(
     jax.jit,
     static_argnames=(
         "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
-        "max_cg_iters", "precond_kind",
+        "max_cg_iters", "precond_kind", "assembly",
     ),
 )
 def sharded_lm_optimize_pcg_planes(
@@ -750,6 +866,7 @@ def sharded_lm_optimize_pcg_planes(
     max_cg_iters: int = 128,
     precond_kind: str = "jacobi",
     prior=None,
+    assembly: str = "auto",
 ):
     """Edge-sharded planar-patch LM: odometry, point-observation AND plane
     edges all sharded over the mesh; node arrays replicated; psum traffic per
@@ -777,7 +894,7 @@ def sharded_lm_optimize_pcg_planes(
             poses, landmarks, planes, edges, pargs, pose_free, lm_free,
             plane_free, lambda x: jax.lax.psum(x, axis_name),
             max_iterations, rel_tol, max_cg_iters,
-            precond_kind=precond_kind, prior=prior,
+            precond_kind=precond_kind, prior=prior, assembly=assembly,
         )
 
     prior_spec = None if prior is None else type(prior)(*(P() for _ in prior))
@@ -837,7 +954,7 @@ def sharded_lm_optimize_pcg_planes(
     jax.jit,
     static_argnames=(
         "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
-        "max_cg_iters", "precond_kind",
+        "max_cg_iters", "precond_kind", "assembly",
     ),
 )
 def sharded_lm_optimize_pcg(
@@ -850,6 +967,7 @@ def sharded_lm_optimize_pcg(
     max_cg_iters: int = 128,
     precond_kind: str = "jacobi",
     prior=None,
+    assembly: str = "auto",
 ):
     """Edge-sharded matrix-free LM: ~[6K]+[3L] of psum traffic per CG step.
     ``prior`` (fixed-lag MarginalPrior) is replicated; its blocks are folded
@@ -867,6 +985,7 @@ def sharded_lm_optimize_pcg(
             poses, landmarks, edges, pose_free, lm_free,
             lambda x: jax.lax.psum(x, axis_name), max_iterations, rel_tol,
             max_cg_iters, precond_kind=precond_kind, prior=prior,
+            assembly=assembly,
         )
 
     e_spec = tuple(P(axis_name) for _ in edge_args)

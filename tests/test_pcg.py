@@ -109,3 +109,77 @@ class TestSharded:
         np.testing.assert_allclose(
             float(s2.chi2_final), float(s1.chi2_final), rtol=1e-6, atol=1e-9
         )
+
+
+class TestMatmulAssembly:
+    """One-hot matmul assembly (solver/assembly.py) must match the scatter
+    path exactly (up to summation order). On TPU it is the default — TPU
+    scatters serialize per index and dominated the CG step before."""
+
+    def test_pcg_matmul_matches_scatter(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        ga, sa = pcg_mod.lm_optimize_pcg(g, max_iterations=25, assembly="scatter")
+        gb, sb = pcg_mod.lm_optimize_pcg(g, max_iterations=25, assembly="matmul")
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(sb.chi2_final), float(sa.chi2_final), rtol=1e-9
+        )
+
+    def test_sharded_matmul_matches_scatter(self, rng):
+        from semantic_slam_tpu.parallel.sharded import make_mesh, shard_graph_edges
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        mesh = make_mesh(4)
+        gs_ = shard_graph_edges(g, mesh)
+        ga, sa = pcg_mod.sharded_lm_optimize_pcg(gs_, mesh, assembly="scatter")
+        gb, sb = pcg_mod.sharded_lm_optimize_pcg(gs_, mesh, assembly="matmul")
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(sb.chi2_final), float(sa.chi2_final), rtol=1e-9
+        )
+
+    def test_dense_linearize_matmul_matches_scatter(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        args = (g.poses, g.landmarks, *lm_mod._edge_args(g))
+        a = lm_mod.linearize_arrays(*args, assembly="scatter")
+        b = lm_mod.linearize_arrays(*args, assembly="matmul")
+        np.testing.assert_allclose(np.asarray(b.Hpp), np.asarray(a.Hpp), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b.W), np.asarray(a.W), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b.Hll), np.asarray(a.Hll), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b.gp), np.asarray(a.gp), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b.gl), np.asarray(a.gl), atol=1e-10)
+
+    def test_planes_prior_matmul_matches_scatter(self, rng):
+        from semantic_slam_tpu.graph import planes as planes_ext
+        from semantic_slam_tpu.solver import fixed_lag as fl
+        from semantic_slam_tpu.solver.plane_ba import observe_plane
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        pn = planes_ext.make_planes(4, 32, dtype=jnp.float64)
+        pw = jnp.asarray([0.0, 0.0, 1.0, -1.2], jnp.float64)
+        pn, pid = planes_ext.add_plane_node(pn, pw)
+        info3 = jnp.eye(3, dtype=jnp.float64) * 25.0
+        for k in range(0, min(12, int(g.num_poses)), 2):
+            pn = planes_ext.add_se3_plane_edge(
+                pn, k, pid, observe_plane(g.poses[k], pw), info3
+            )
+        L = g.landmarks.shape[0]
+        g2, pn2, prior, _ = fl.marginalize_planes(
+            g, pn, fl.empty_prior(L, Pl=4, dtype=jnp.float64), drop=4
+        )
+        ga, pa, sa = pcg_mod.lm_optimize_pcg_planes(
+            g2, pn2, max_iterations=20, prior=prior, assembly="scatter"
+        )
+        gb, pb, sb = pcg_mod.lm_optimize_pcg_planes(
+            g2, pn2, max_iterations=20, prior=prior, assembly="matmul"
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(pb.planes), np.asarray(pa.planes), atol=1e-9
+        )
