@@ -99,6 +99,7 @@ def linearize_with_planes(
     pn: PlaneNodes,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    assembly: str = "auto",
 ) -> lm_mod.Linearization:
     """Point linearization + plane blocks appended onto the landmark system.
 
@@ -106,10 +107,14 @@ def linearize_with_planes(
     point observation edges (via the base linearization) and the SE3-plane
     edges; odometry stays unweighted, matching the reference's robust-kernel
     placement (graph_slam.cpp:155-161 attaches kernels to landmark edges
-    only)."""
+    only). ``assembly`` as in ``lm.linearize_arrays`` (one-hot matmuls on
+    TPU, scatters on CPU)."""
+    from semantic_slam_tpu.solver import assembly as asm
+
+    use_mm = asm.resolve_assembly(assembly) == "matmul"
     lin = lm_mod.linearize_arrays(
         g.poses, g.landmarks, *lm_mod._edge_args(g),
-        robust_kind=robust_kind, robust_delta=robust_delta,
+        robust_kind=robust_kind, robust_delta=robust_delta, assembly=assembly,
     )
     K = g.poses.shape[0]
     Pl = pn.planes.shape[0]
@@ -134,22 +139,40 @@ def linearize_with_planes(
     g_p = jnp.einsum("eia,ea->ei", JpT_O, r_p)
     chi_p = chi_p_rho
 
-    Hpp = lin.Hpp.reshape(K, 6, K, 6)
-    Hpp = jnp.transpose(Hpp, (0, 2, 1, 3))  # [K, K, 6, 6]
-    Hpp = Hpp.at[pn.pe_k, pn.pe_k].add(H_kk)
-    Hpp2 = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(6 * K, 6 * K)
+    if use_mm:
+        Ok = asm.onehot(pn.pe_k, K, dtype)
+        Op = asm.onehot(pn.pe_p, Pl, dtype)
+        Dp = jnp.einsum("ek,eij->kij", Ok, H_kk)
+        Hpp2 = (
+            lin.Hpp.reshape(K, 6, K, 6) + asm.diag_embed_blocks(Dp)
+        ).reshape(6 * K, 6 * K)
+        gp = (lin.gp.reshape(K, 6) + jnp.einsum("ek,ei->ki", Ok, g_k)).reshape(-1)
+        Z = jnp.einsum("eab,el->ealb", W_kp, Op)  # [E,6,Pl,3]
+        Wp2 = jnp.einsum("ek,ealb->kalb", Ok, Z).reshape(6 * K, 3 * Pl)
+        W = jnp.concatenate([lin.W, Wp2], axis=1)
+        Hll = jnp.concatenate(
+            [lin.Hll, jnp.einsum("ep,eij->pij", Op, H_pp)], axis=0
+        )
+        gl = jnp.concatenate(
+            [lin.gl, jnp.einsum("ep,ei->pi", Op, g_p).reshape(-1)]
+        )
+    else:
+        Hpp = lin.Hpp.reshape(K, 6, K, 6)
+        Hpp = jnp.transpose(Hpp, (0, 2, 1, 3))  # [K, K, 6, 6]
+        Hpp = Hpp.at[pn.pe_k, pn.pe_k].add(H_kk)
+        Hpp2 = jnp.transpose(Hpp, (0, 2, 1, 3)).reshape(6 * K, 6 * K)
 
-    gp = lin.gp.reshape(K, 6).at[pn.pe_k].add(g_k).reshape(-1)
+        gp = lin.gp.reshape(K, 6).at[pn.pe_k].add(g_k).reshape(-1)
 
-    Wp = jnp.zeros((K, Pl, 6, 3), dtype).at[pn.pe_k, pn.pe_p].add(W_kp)
-    Wp2 = jnp.transpose(Wp, (0, 2, 1, 3)).reshape(6 * K, 3 * Pl)
-    W = jnp.concatenate([lin.W, Wp2], axis=1)  # [6K, 3(L+Pl)]
+        Wp = jnp.zeros((K, Pl, 6, 3), dtype).at[pn.pe_k, pn.pe_p].add(W_kp)
+        Wp2 = jnp.transpose(Wp, (0, 2, 1, 3)).reshape(6 * K, 3 * Pl)
+        W = jnp.concatenate([lin.W, Wp2], axis=1)  # [6K, 3(L+Pl)]
 
-    Hll_p = jnp.zeros((Pl, 3, 3), dtype).at[pn.pe_p].add(H_pp)
-    Hll = jnp.concatenate([lin.Hll, Hll_p], axis=0)
+        Hll_p = jnp.zeros((Pl, 3, 3), dtype).at[pn.pe_p].add(H_pp)
+        Hll = jnp.concatenate([lin.Hll, Hll_p], axis=0)
 
-    gl_p = jnp.zeros((Pl, 3), dtype).at[pn.pe_p].add(g_p)
-    gl = jnp.concatenate([lin.gl, gl_p.reshape(-1)])
+        gl_p = jnp.zeros((Pl, 3), dtype).at[pn.pe_p].add(g_p)
+        gl = jnp.concatenate([lin.gl, gl_p.reshape(-1)])
 
     return lm_mod.Linearization(Hpp2, W, Hll, gp, gl, lin.chi2 + chi_p)
 

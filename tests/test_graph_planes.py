@@ -169,3 +169,29 @@ class TestRobustPlaneEdges:
         np.testing.assert_allclose(
             float(s_p.chi2_final), float(s_d.chi2_final), rtol=1e-3
         )
+
+
+def test_plane_linearize_matmul_matches_scatter():
+    """One-hot matmul assembly of the plane-extended dense linearization
+    (graph/planes.py) equals the scatter path (solver/assembly.py)."""
+    import numpy as np
+
+    from __graft_entry__ import _build_graph
+    from semantic_slam_tpu.graph import planes as planes_ext
+    from semantic_slam_tpu.solver.plane_ba import observe_plane
+
+    g = _build_graph(K=48, L=16, E2=160, dtype=jnp.float64, seed=3, noise=0.02)
+    pn = planes_ext.make_planes(4, 32, dtype=jnp.float64)
+    pw = jnp.asarray([0.0, 0.0, 1.0, -1.2], jnp.float64)
+    pn, pid = planes_ext.add_plane_node(pn, pw)
+    info3 = jnp.eye(3, dtype=jnp.float64) * 25.0
+    for k in range(0, 12, 2):
+        pn = planes_ext.add_se3_plane_edge(
+            pn, k, pid, observe_plane(g.poses[k], pw), info3
+        )
+    a = planes_ext.linearize_with_planes(g, pn, assembly="scatter")
+    b = planes_ext.linearize_with_planes(g, pn, assembly="matmul")
+    for name in ("Hpp", "W", "Hll", "gp", "gl", "chi2"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)), atol=1e-10
+        )
