@@ -20,6 +20,11 @@ import jax.numpy as jnp
 def resolve_assembly(kind: str) -> str:
     if kind != "auto":
         return kind
+    import os
+
+    forced = os.environ.get("SLAM_ASSEMBLY", "")
+    if forced in ("matmul", "scatter"):
+        return forced
     return "matmul" if jax.default_backend() == "tpu" else "scatter"
 
 
