@@ -147,8 +147,9 @@ def linearize_with_planes(
             lin.Hpp.reshape(K, 6, K, 6) + asm.diag_embed_blocks(Dp)
         ).reshape(6 * K, 6 * K)
         gp = (lin.gp.reshape(K, 6) + jnp.einsum("ek,ei->ki", Ok, g_k)).reshape(-1)
-        Z = jnp.einsum("eab,el->ealb", W_kp, Op)  # [E,6,Pl,3]
-        Wp2 = jnp.einsum("ek,ealb->kalb", Ok, Z).reshape(6 * K, 3 * Pl)
+        Wp2 = asm.cross_block_mm(pn.pe_k, pn.pe_p, W_kp, K, Pl).reshape(
+            6 * K, 3 * Pl
+        )
         W = jnp.concatenate([lin.W, Wp2], axis=1)
         Hll = jnp.concatenate(
             [lin.Hll, jnp.einsum("ep,eij->pij", Op, H_pp)], axis=0

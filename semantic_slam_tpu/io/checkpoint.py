@@ -13,6 +13,7 @@ disk); everything derived from them is.
 
 from __future__ import annotations
 
+import collections
 import json
 
 import jax.numpy as jnp
@@ -22,6 +23,13 @@ from semantic_slam_tpu.assoc.association import LandmarkTable
 from semantic_slam_tpu.graph.planes import PlaneNodes
 from semantic_slam_tpu.graph.state import GraphState
 from semantic_slam_tpu.solver.fixed_lag import MarginalPrior
+
+# Pre-plane-prior MarginalPrior layout (9 fields) — restore template for
+# orbax checkpoints written before Hpl/pl_ref/gpl0 existed.
+_LegacyMarginalPrior = collections.namedtuple(
+    "_LegacyMarginalPrior",
+    ["p_idx", "p_ref", "Hp", "gp0", "num_p", "Hl", "l_ref", "gl0", "c0"],
+)
 
 
 def save_checkpoint(path: str, engine) -> None:
@@ -110,11 +118,29 @@ def load_checkpoint(path: str, engine) -> None:
             }
         )
     if "fl_Hp" in z.files:
+        from semantic_slam_tpu.solver.fixed_lag import empty_prior
+
+        # pre-plane-prior checkpoints lack fl_Hpl/fl_pl_ref/fl_gpl0 — fall
+        # back to empty plane blocks sized to the restored plane capacity
+        fresh = empty_prior(
+            z["fl_Hl"].shape[0],
+            PB=z["fl_Hp"].shape[0] // 6,
+            Pl=engine.plane_nodes.planes.shape[0],
+            dtype=dtype,
+        )
         engine.prior = MarginalPrior(
             **{
-                k: jnp.asarray(
-                    z[f"fl_{k}"],
-                    dtype=(jnp.int32 if z[f"fl_{k}"].dtype.kind == "i" else dtype),
+                k: (
+                    jnp.asarray(
+                        z[f"fl_{k}"],
+                        dtype=(
+                            jnp.int32
+                            if z[f"fl_{k}"].dtype.kind == "i"
+                            else dtype
+                        ),
+                    )
+                    if f"fl_{k}" in z.files
+                    else getattr(fresh, k)
                 )
                 for k in MarginalPrior._fields
             }
@@ -278,11 +304,23 @@ def load_checkpoint_orbax(path: str, engine) -> None:
         "table": make_table(caps["L"], dtype=dtype),
         "planes": make_planes(caps["Pl"], caps["E3"], dtype=dtype),
         "marginals": jnp.tile(jnp.eye(3, dtype=dtype), (caps["L"], 1, 1)),
-        "prior": empty_prior(
-            caps.get("PL", caps["L"]), PB=caps.get("PB", 8),
-            Pl=caps.get("PPl", 0), dtype=dtype
-        ),
     }
+    # the template tree must match the saved structure exactly: pre-fixed-lag
+    # checkpoints have no prior subtree (no PB/PL caps), and pre-plane-prior
+    # ones (no PPl cap) saved the 9-field legacy MarginalPrior
+    legacy_prior = "PB" in caps and "PPl" not in caps
+    if "PB" in caps:
+        full = empty_prior(
+            caps.get("PL", caps["L"]), PB=caps["PB"],
+            Pl=caps.get("PPl", 0), dtype=dtype,
+        )
+        template["prior"] = (
+            _LegacyMarginalPrior(
+                *(getattr(full, f) for f in _LegacyMarginalPrior._fields)
+            )
+            if legacy_prior
+            else full
+        )
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.join(path, "device_state"), template)
     engine.graph = restored["graph"]
@@ -290,7 +328,18 @@ def load_checkpoint_orbax(path: str, engine) -> None:
     engine.plane_nodes = restored["planes"]
     engine.marginals = restored["marginals"]
     if "prior" in restored:
-        engine.prior = restored["prior"]
+        prior = restored["prior"]
+        if legacy_prior:
+            # upgrade: empty plane blocks sized to the restored plane capacity
+            fresh = empty_prior(
+                prior.Hl.shape[0], PB=prior.p_idx.shape[0],
+                Pl=caps["Pl"], dtype=dtype,
+            )
+            prior = MarginalPrior(
+                **prior._asdict(),
+                Hpl=fresh.Hpl, pl_ref=fresh.pl_ref, gpl0=fresh.gpl0,
+            )
+        engine.prior = prior
     engine.archived_poses = [
         np.asarray(p, np.float64) for p in meta.get("archived_poses", [])
     ]

@@ -153,26 +153,40 @@ def prior_chi2(prior: MarginalPrior, poses, landmarks) -> jax.Array:
     return prior.c0 + pose_part + lm_part
 
 
+def prior_fold_terms(prior: MarginalPrior, poses, landmarks, dtype):
+    """The pieces every prior fold needs, computed once: the prior gradient
+    at the current estimate (``gp_add [6PB]``, ``gl_add [L,3]``) and the
+    prior chi2. Shared by the dense (Linearization) and matrix-free
+    (EdgeBlocks) paths so their math cannot diverge."""
+    ep, el = _prior_coords(prior, poses, landmarks)
+    gp_add = prior.gp0 + prior.Hp @ ep.astype(dtype)
+    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el.astype(dtype))
+    return gp_add, gl_add, prior_chi2(prior, poses, landmarks)
+
+
+def prior_pose_diag(prior: MarginalPrior) -> jax.Array:
+    """[PB, 6, 6] diagonal blocks of the boundary-pose prior Hessian (what
+    block-Jacobi preconditioners consume)."""
+    PB = prior.max_poses
+    Hp4 = prior.Hp.reshape(PB, 6, PB, 6).transpose(0, 2, 1, 3)
+    return Hp4[jnp.arange(PB), jnp.arange(PB)]
+
+
 def apply_prior(
     lin: Linearization, prior: MarginalPrior, poses, landmarks
 ) -> Linearization:
     """Add the prior's gradient/Hessian blocks into a dense Linearization."""
     dtype = lin.Hpp.dtype
-    PB = prior.max_poses
-    ep, el = _prior_coords(prior, poses, landmarks)
-    ep = ep.astype(dtype)
-    el = el.astype(dtype)
+    gp_add, gl_add, chi_pr = prior_fold_terms(prior, poses, landmarks, dtype)
 
     r6 = (6 * prior.p_idx[:, None] + jnp.arange(6)[None, :]).reshape(-1)  # [6PB]
     Hpp = lin.Hpp.at[r6[:, None], r6[None, :]].add(prior.Hp)
-    gp = lin.gp.at[r6].add(prior.gp0 + prior.Hp @ ep)
+    gp = lin.gp.at[r6].add(gp_add)
 
     Hll = lin.Hll + prior.Hl
-    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
     gl = lin.gl + gl_add.reshape(-1)
 
-    chi2 = lin.chi2 + prior_chi2(prior, poses, landmarks)
-    return Linearization(Hpp, lin.W, Hll, gp, gl, chi2)
+    return Linearization(Hpp, lin.W, Hll, gp, gl, lin.chi2 + chi_pr)
 
 
 def prior_chi2_planes(prior: MarginalPrior, poses, landmarks, planes) -> jax.Array:
@@ -189,21 +203,17 @@ def apply_prior_planes(
     gl[:3L], plane blocks the tail."""
     L = landmarks.shape[0]
     dtype = lin.Hpp.dtype
-    ep, el = _prior_coords(prior, poses, landmarks)
-    ep = ep.astype(dtype)
-    el = el.astype(dtype)
+    gp_add, gl_add, chi_pr = prior_fold_terms(prior, poses, landmarks, dtype)
 
     r6 = (6 * prior.p_idx[:, None] + jnp.arange(6)[None, :]).reshape(-1)
     Hpp = lin.Hpp.at[r6[:, None], r6[None, :]].add(prior.Hp)
-    gp = lin.gp.at[r6].add(prior.gp0 + prior.Hp @ ep)
+    gp = lin.gp.at[r6].add(gp_add)
 
     chi_pl, gpl = _plane_prior_terms(prior, planes)
     Hll = lin.Hll.at[:L].add(prior.Hl).at[L:].add(prior.Hpl)
-    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
     gl = lin.gl + jnp.concatenate([gl_add.reshape(-1), gpl.astype(dtype).reshape(-1)])
 
-    chi2 = lin.chi2 + prior_chi2(prior, poses, landmarks) + chi_pl
-    return Linearization(Hpp, lin.W, Hll, gp, gl, chi2)
+    return Linearization(Hpp, lin.W, Hll, gp, gl, lin.chi2 + chi_pr + chi_pl)
 
 
 @partial(

@@ -178,19 +178,13 @@ def apply_prior_blocks(eb: EdgeBlocks, prior, poses, landmarks) -> EdgeBlocks:
 
     dtype = eb.gp.dtype
     PB = prior.p_idx.shape[0]
-    ep, el = fl._prior_coords(prior, poses, landmarks)
-    ep = ep.astype(dtype)
-    el = el.astype(dtype)
-    gp_add = (prior.gp0 + prior.Hp @ ep).reshape(PB, 6)
-    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
-    Hp4 = prior.Hp.reshape(PB, 6, PB, 6).transpose(0, 2, 1, 3)
-    diag_add = Hp4[jnp.arange(PB), jnp.arange(PB)]  # [PB, 6, 6]
+    gp_add, gl_add, chi_pr = fl.prior_fold_terms(prior, poses, landmarks, dtype)
     return eb._replace(
         Hll=eb.Hll + prior.Hl,
-        gp=eb.gp.at[prior.p_idx].add(gp_add),
+        gp=eb.gp.at[prior.p_idx].add(gp_add.reshape(PB, 6)),
         gl=eb.gl + gl_add,
-        diag=eb.diag.at[prior.p_idx].add(diag_add),
-        chi2=eb.chi2 + fl.prior_chi2(prior, poses, landmarks),
+        diag=eb.diag.at[prior.p_idx].add(fl.prior_pose_diag(prior)),
+        chi2=eb.chi2 + chi_pr,
     )
 
 
@@ -206,20 +200,14 @@ def apply_prior_blocks_planes(
     dtype = eb.gp.dtype
     L = landmarks.shape[0]
     PB = prior.p_idx.shape[0]
-    ep, el = fl._prior_coords(prior, poses, landmarks)
-    ep = ep.astype(dtype)
-    el = el.astype(dtype)
-    gp_add = (prior.gp0 + prior.Hp @ ep).reshape(PB, 6)
-    gl_add = prior.gl0 + jnp.einsum("lij,lj->li", prior.Hl, el)
+    gp_add, gl_add, chi_pr = fl.prior_fold_terms(prior, poses, landmarks, dtype)
     chi_pl, gpl = fl._plane_prior_terms(prior, planes)
-    Hp4 = prior.Hp.reshape(PB, 6, PB, 6).transpose(0, 2, 1, 3)
-    diag_add = Hp4[jnp.arange(PB), jnp.arange(PB)]  # [PB, 6, 6]
     return eb._replace(
         Hll=eb.Hll.at[:L].add(prior.Hl).at[L:].add(prior.Hpl),
-        gp=eb.gp.at[prior.p_idx].add(gp_add),
+        gp=eb.gp.at[prior.p_idx].add(gp_add.reshape(PB, 6)),
         gl=eb.gl.at[:L].add(gl_add).at[L:].add(gpl.astype(dtype)),
-        diag=eb.diag.at[prior.p_idx].add(diag_add),
-        chi2=eb.chi2 + fl.prior_chi2(prior, poses, landmarks) + chi_pl,
+        diag=eb.diag.at[prior.p_idx].add(fl.prior_pose_diag(prior)),
+        chi2=eb.chi2 + chi_pr + chi_pl,
     )
 
 

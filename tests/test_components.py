@@ -381,3 +381,67 @@ class TestOrbaxGrownCapacities:
             np.asarray(eng2.graph.poses), np.asarray(eng.graph.poses)
         )
         assert eng2._n_poses == int(eng.graph.num_poses)
+
+    def test_load_pre_plane_prior_npz(self, tmp_path):
+        """Checkpoints written before the prior grew plane blocks
+        (Hpl/pl_ref/gpl0) must still load: missing fl_* keys fall back to
+        empty plane-prior blocks."""
+        from semantic_slam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        e2e_config, eng = TestCheckpointMirrorsAndOrbax._session(self)
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, eng)
+        # strip the new plane-prior keys to simulate an old checkpoint
+        z = dict(np.load(p, allow_pickle=False))
+        for k in ("fl_Hpl", "fl_pl_ref", "fl_gpl0"):
+            z.pop(k, None)
+        old = str(tmp_path / "ckpt_old.npz")
+        np.savez(old, **z)
+
+        eng2 = SlamEngine(e2e_config())
+        load_checkpoint(old, eng2)
+        np.testing.assert_allclose(
+            np.asarray(eng2.graph.poses), np.asarray(eng.graph.poses)
+        )
+        assert float(np.abs(np.asarray(eng2.prior.Hpl)).sum()) == 0.0
+        assert eng2.prior.Hpl.shape[0] == eng2.plane_nodes.planes.shape[0]
+
+    def test_load_pre_plane_prior_orbax(self, tmp_path):
+        """Orbax checkpoints saved with the 9-field legacy MarginalPrior
+        restore through the legacy template and upgrade in place."""
+        import json
+        import os as _os
+
+        import orbax.checkpoint as ocp
+
+        from semantic_slam_tpu.io.checkpoint import (
+            _LegacyMarginalPrior,
+            _engine_host_meta,
+            _engine_pytree,
+            load_checkpoint_orbax,
+        )
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+
+        e2e_config, eng = TestCheckpointMirrorsAndOrbax._session(self)
+        p = _os.path.abspath(str(tmp_path / "ckpt_legacy"))
+
+        tree = _engine_pytree(eng)
+        tree["prior"] = _LegacyMarginalPrior(
+            *(getattr(eng.prior, f) for f in _LegacyMarginalPrior._fields)
+        )
+        meta = _engine_host_meta(eng)
+        del meta["capacities"]["PPl"]
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(_os.path.join(p, "device_state"), tree)
+        ckptr.wait_until_finished()
+        with open(_os.path.join(p, "host_state.json"), "w") as f:
+            json.dump(meta, f)
+
+        eng2 = SlamEngine(e2e_config())
+        load_checkpoint_orbax(p, eng2)
+        np.testing.assert_allclose(
+            np.asarray(eng2.graph.poses), np.asarray(eng.graph.poses)
+        )
+        assert float(np.abs(np.asarray(eng2.prior.Hpl)).sum()) == 0.0
+        assert eng2.prior.Hpl.shape[0] == eng.plane_nodes.planes.shape[0]

@@ -183,3 +183,20 @@ class TestMatmulAssembly:
         np.testing.assert_allclose(
             np.asarray(pb.planes), np.asarray(pa.planes), atol=1e-9
         )
+
+    def test_cross_block_mm_chunked_matches_single(self, rng):
+        """E-axis chunking of the one-hot cross matmul (bounded transient)
+        must be exact vs the single-shot path."""
+        from semantic_slam_tpu.solver import assembly as asm
+
+        E, n_r, n_c = 1000, 17, 13
+        idx_r = jnp.asarray(rng.integers(0, n_r, E), jnp.int32)
+        idx_c = jnp.asarray(rng.integers(0, n_c, E), jnp.int32)
+        B = jnp.asarray(rng.normal(size=(E, 6, 3)))
+        full = asm.cross_block_mm(idx_r, idx_c, B, n_r, n_c)
+        chunked = asm.cross_block_mm(
+            idx_r, idx_c, B, n_r, n_c, max_elems=128 * 6 * n_c * 3
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), atol=1e-12
+        )
