@@ -240,6 +240,79 @@ def cmd_run(args) -> None:
     print(json.dumps(summary, indent=1))
 
 
+def cmd_merge(args) -> None:
+    """Merge N session checkpoints into one map + joint BA.
+
+    Multi-session capability the reference lacks entirely (its state dies at
+    shutdown, SURVEY.md §5 checkpoint/resume): sessions are engine
+    checkpoints; landmarks cross-associate by class + plane type + merge
+    radius; joint (optionally planar-patch) bundle adjustment ties the
+    sessions into one frame."""
+    from semantic_slam_tpu.config import PROFILES
+    from semantic_slam_tpu.io.checkpoint import load_checkpoint
+    from semantic_slam_tpu.io.g2o_io import save_g2o
+    from semantic_slam_tpu.io import tum as tum_mod
+    from semantic_slam_tpu.runtime import multisession as ms
+    from semantic_slam_tpu.runtime.engine import SlamEngine
+
+    if args.profile not in PROFILES:
+        sys.exit(f"unknown profile {args.profile!r}; have {sorted(PROFILES)}")
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    cfg = PROFILES[args.profile]
+    if args.plane_landmarks:
+        cfg = cfg.replace(use_plane_landmarks=True)
+
+    engines = []
+    for path in args.checkpoints:
+        eng = SlamEngine(cfg)
+        load_checkpoint(path, eng)
+        engines.append(eng)
+    graphs = [e.graph for e in engines]
+    tables = [e.table for e in engines]
+
+    if cfg.use_plane_landmarks:
+        merged, pn, owner = ms.merge_graphs_planes(
+            graphs, tables, [e.plane_nodes for e in engines],
+            merge_radius=args.merge_radius,
+        )
+        g, pn, stats = ms.joint_bundle_adjust_planes(
+            merged, pn, max_iterations=args.max_iterations
+        )
+    else:
+        merged, owner = ms.merge_graphs(
+            graphs, tables, merge_radius=args.merge_radius
+        )
+        g, stats = ms.joint_bundle_adjust(
+            merged, max_iterations=args.max_iterations
+        )
+        pn = None
+
+    os.makedirs(args.out, exist_ok=True)
+    n_act = int(g.num_poses)
+    tum_mod.write_tum(
+        os.path.join(args.out, "merged_pose.txt"),
+        np.arange(n_act, dtype=np.float64),
+        np.asarray(g.poses[:n_act], np.float64),
+    )
+    save_g2o(os.path.join(args.out, "merged_graph.g2o"), g, pn)
+    summary = {
+        "sessions": len(engines),
+        "poses": n_act,
+        "landmarks": int(g.num_landmarks),
+        "edges": int(g.num_edges()) + (int(pn.num_pe) if pn is not None else 0),
+        "landmarks_per_session": [int(e.table.count) for e in engines],
+        "chi2_initial": float(stats.chi2_initial),
+        "chi2_final": float(stats.chi2_final),
+        "lm_iterations": int(stats.iterations),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="semantic_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -327,6 +400,18 @@ def main(argv=None) -> None:
         help="with --voxel: octomap-style free-space carving + log-odds",
     )
     pr.set_defaults(fn=cmd_run)
+
+    pm = sub.add_parser(
+        "merge", help="merge session checkpoints into one map + joint BA"
+    )
+    pm.add_argument("checkpoints", nargs="+", help="engine checkpoint .npz files")
+    pm.add_argument("--out", required=True)
+    pm.add_argument("--profile", default="bucket_detector_workspace")
+    pm.add_argument("--merge-radius", type=float, default=1.0)
+    pm.add_argument("--max-iterations", type=int, default=64)
+    pm.add_argument("--plane-landmarks", action="store_true")
+    pm.add_argument("--cpu", action="store_true")
+    pm.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -39,6 +39,19 @@ def merge_graphs(
     Host-side (numpy) graph surgery — merging is a rare offline operation;
     the heavy part (joint BA) stays on device afterwards.
     """
+    merged, owner, _, _, _ = _merge_core(graphs, tables, merge_radius, dtype)
+    return merged, owner
+
+
+def _merge_core(
+    graphs: list[GraphState],
+    tables: list,
+    merge_radius: float = 1.0,
+    dtype=None,
+):
+    """merge_graphs internals; additionally returns the per-session
+    landmark remaps, owner local ids and pose offsets (what the
+    planar-patch merge needs to unify plane nodes/edges)."""
     import jax.numpy as jnp
 
     from semantic_slam_tpu.graph import state as gs
@@ -72,6 +85,7 @@ def merge_graphs(
     uni_class: list[int] = []
     uni_ptype: list[int] = []
     owner: list[int] = []
+    owner_local: list[int] = []  # owner's LOCAL landmark id per unified id
     lm_map: list[np.ndarray] = []  # per session: local id -> unified id
     for si, s in enumerate(sessions):
         mapping = np.zeros(len(s["lms"]), np.int64)
@@ -91,6 +105,7 @@ def merge_graphs(
                 uni_class.append(cid)
                 uni_ptype.append(pt)
                 owner.append(si)
+                owner_local.append(li)
             mapping[li] = best
         lm_map.append(mapping)
 
@@ -133,7 +148,108 @@ def merge_graphs(
         lme_info=merged.lme_info.at[: len(linfo)].set(jnp.asarray(linfo, dtype)),
         num_lme=jnp.asarray(len(lk), jnp.int32),
     )
-    return merged, np.asarray(owner, np.int64)
+    return (
+        merged,
+        np.asarray(owner, np.int64),
+        lm_map,
+        np.asarray(owner_local, np.int64),
+        pose_off,
+    )
+
+
+def merge_graphs_planes(
+    graphs: list[GraphState],
+    tables: list,
+    plane_nodes: list,
+    merge_radius: float = 1.0,
+    dtype=None,
+):
+    """Planar-patch multi-session merge: the point part is ``merge_graphs``
+    verbatim; plane nodes ride the SAME landmark unification (plane node i
+    is landmark i's patch by the engine invariant), taking the owner
+    session's plane parameters for each unified landmark, and SE3-plane
+    edges re-target through the pose offsets / landmark remaps.
+
+    Returns (merged GraphState, merged PlaneNodes, landmark_owner).
+    """
+    import jax.numpy as jnp
+
+    from semantic_slam_tpu.graph.planes import make_planes
+
+    dtype = dtype or graphs[0].poses.dtype
+    merged, owner, lm_map, owner_local, pose_off = _merge_core(
+        graphs, tables, merge_radius, dtype
+    )
+
+    # unified plane parameters from each owner session
+    uni_planes = np.stack(
+        [
+            np.asarray(plane_nodes[s].planes[li], np.float64)
+            for s, li in zip(owner, owner_local)
+        ]
+    ) if len(owner) else np.zeros((0, 4))
+
+    # concatenate + re-target SE3-plane edges
+    pe_k, pe_p, pe_meas, pe_info = [], [], [], []
+    for si, pn in enumerate(plane_nodes):
+        n = int(pn.num_pe)
+        pe_k.append(np.asarray(pn.pe_k[:n]) + pose_off[si])
+        pe_p.append(lm_map[si][np.asarray(pn.pe_p[:n])])
+        pe_meas.append(np.asarray(pn.pe_meas[:n], np.float64))
+        pe_info.append(np.asarray(pn.pe_info[:n], np.float64))
+    pe_k = np.concatenate(pe_k) if pe_k else np.zeros((0,), np.int64)
+    pe_p = np.concatenate(pe_p) if pe_p else np.zeros((0,), np.int64)
+    pe_meas = (
+        np.concatenate(pe_meas) if pe_meas else np.zeros((0, 4))
+    )
+    pe_info = (
+        np.concatenate(pe_info) if pe_info else np.zeros((0, 3, 3))
+    )
+
+    def cap(n, lo=16):
+        c = lo
+        while c < n:
+            c *= 2
+        return c
+
+    Pl = len(uni_planes)
+    pn_m = make_planes(
+        merged.landmarks.shape[0], cap(max(len(pe_k), 1)), dtype=dtype
+    )
+    pn_m = pn_m._replace(
+        planes=pn_m.planes.at[:Pl].set(jnp.asarray(uni_planes, dtype)),
+        num_planes=jnp.asarray(Pl, jnp.int32),
+        pe_k=pn_m.pe_k.at[: len(pe_k)].set(jnp.asarray(pe_k, jnp.int32)),
+        pe_p=pn_m.pe_p.at[: len(pe_p)].set(jnp.asarray(pe_p, jnp.int32)),
+        pe_meas=pn_m.pe_meas.at[: len(pe_meas)].set(jnp.asarray(pe_meas, dtype)),
+        pe_info=pn_m.pe_info.at[: len(pe_info)].set(jnp.asarray(pe_info, dtype)),
+        num_pe=jnp.asarray(len(pe_k), jnp.int32),
+    )
+    return merged, pn_m, owner
+
+
+def joint_bundle_adjust_planes(
+    merged: GraphState,
+    pn,
+    mesh=None,
+    axis_name: str = "shard",
+    max_iterations: int = 64,
+):
+    """Joint planar-patch BA over the merged graph — sharded when a mesh is
+    given (edge capacities must divide the mesh; make_planes pads them)."""
+    from semantic_slam_tpu.solver import pcg as pcg_mod
+
+    if mesh is None:
+        from semantic_slam_tpu.graph.planes import lm_optimize_with_planes
+
+        return lm_optimize_with_planes(merged, pn, max_iterations=max_iterations)
+    from semantic_slam_tpu.parallel.sharded import shard_graph_edges
+
+    merged = shard_graph_edges(merged, mesh, axis_name)
+    g, pn, stats = pcg_mod.sharded_lm_optimize_pcg_planes(
+        merged, pn, mesh, axis_name, max_iterations=max_iterations
+    )
+    return (g, pn, stats)
 
 
 def joint_bundle_adjust(

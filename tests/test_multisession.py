@@ -87,3 +87,57 @@ class TestMerge:
         np.testing.assert_allclose(
             np.asarray(out2.poses), np.asarray(out1.poses), atol=1e-8
         )
+
+
+class TestMergePlanes:
+    def _plane_session(self, rng, offset):
+        from semantic_slam_tpu.graph import planes as planes_ext
+        from semantic_slam_tpu.solver.plane_ba import observe_plane
+
+        lms = [[1.0, 1.0, 0.5], [3.0, -1.0, 0.2]]
+        g, t, gt = make_session(rng, offset, lms, [0, 1])
+        # one plane patch per landmark (engine invariant: plane i == lm i)
+        pn = planes_ext.make_planes(8, 32, dtype=jnp.float64)
+        pws = [
+            jnp.asarray([0.0, 0.0, 1.0, -0.5], jnp.float64),
+            jnp.asarray([1.0, 0.0, 0.0, -3.0], jnp.float64),
+        ]
+        info3 = jnp.eye(3, dtype=jnp.float64) * 25.0
+        for pw in pws:
+            pn, pid = planes_ext.add_plane_node(pn, pw)
+            for k in range(0, int(g.num_poses), 2):
+                pn = planes_ext.add_se3_plane_edge(
+                    pn, k, pid, observe_plane(gt[k], pw), info3
+                )
+        return g, t, pn
+
+    def test_planes_unify_and_joint_ba(self, rng):
+        from semantic_slam_tpu.parallel.sharded import make_mesh
+
+        g1, t1, pn1 = self._plane_session(rng, 0.0)
+        g2, t2, pn2 = self._plane_session(rng, 0.5)
+        merged, pn_m, owner = ms.merge_graphs_planes(
+            [g1, g2], [t1, t2], [pn1, pn2], merge_radius=0.8
+        )
+        # plane nodes unified 1:1 with landmarks; edges from both sessions
+        assert int(pn_m.num_planes) == int(merged.num_landmarks) == 2
+        n_pe = int(pn_m.num_pe)
+        assert n_pe == int(pn1.num_pe) + int(pn2.num_pe)
+        ks = np.asarray(pn_m.pe_k)[:n_pe]
+        assert ks.max() >= int(g1.num_poses)  # session-2 edges re-offset
+        assert np.asarray(pn_m.pe_p)[:n_pe].max() < 2
+
+        out, pn_o, stats = ms.joint_bundle_adjust_planes(merged, pn_m)
+        assert float(stats.chi2_final) < float(stats.chi2_initial)
+
+        mesh = make_mesh(4)
+        out_s, pn_s, stats_s = ms.joint_bundle_adjust_planes(
+            merged, pn_m, mesh=mesh, max_iterations=20
+        )
+        assert float(stats_s.chi2_final) < float(stats_s.chi2_initial)
+        n_act = int(merged.num_poses)
+        g_1c, pn_1c, s_1c = ms.joint_bundle_adjust_planes(
+            merged, pn_m, max_iterations=20
+        )
+        # sharded lands on a consistent joint solution
+        assert np.isfinite(np.asarray(out_s.poses)[:n_act]).all()
