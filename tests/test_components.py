@@ -150,6 +150,49 @@ class TestVizAndCli:
         summary = json.load(open(os.path.join(out, "summary.json")))
         assert summary["keyframes"] > 0
 
+    def test_cli_merge(self, tmp_path):
+        """merge subcommand: two session checkpoints -> one jointly
+        optimized map with the full session pose count."""
+        from semantic_slam_tpu import cli
+
+        outs = []
+        for seed in (0, 4):
+            logp = str(tmp_path / f"log{seed}.npz")
+            cli.main(
+                [
+                    "synth", "--out", logp, "--steps", "90", "--seed",
+                    str(seed), "--sensor-every", "6", "--height", "120",
+                    "--width", "160", "--loops", "1",
+                ]
+            )
+            out = str(tmp_path / f"run{seed}")
+            cli.main(
+                [
+                    "run", "--log", logp, "--profile", "yolo_detector",
+                    "--out", out, "--checkpoint", "--cpu",
+                    "--max-keyframes", "64", "--crop-size", "64",
+                ]
+            )
+            outs.append(out)
+
+        merged = str(tmp_path / "merged")
+        cli.main(
+            [
+                "merge",
+                os.path.join(outs[0], "checkpoint.npz"),
+                os.path.join(outs[1], "checkpoint.npz"),
+                "--out", merged, "--profile", "yolo_detector", "--cpu",
+            ]
+        )
+        s = json.load(open(os.path.join(merged, "summary.json")))
+        n0 = json.load(open(os.path.join(outs[0], "summary.json")))["keyframes"]
+        n1 = json.load(open(os.path.join(outs[1], "summary.json")))["keyframes"]
+        assert s["sessions"] == 2
+        assert s["poses"] == n0 + n1
+        assert np.isfinite(s["chi2_final"])
+        assert os.path.exists(os.path.join(merged, "merged_pose.txt"))
+        assert os.path.exists(os.path.join(merged, "merged_graph.g2o"))
+
     def test_marker_colors_match_reference_quirk(self):
         from semantic_slam_tpu.viz.markers import CLASS_COLORS
 
