@@ -230,16 +230,6 @@ def lm_optimize_with_planes(
             )
         return lin
 
-    def chi2_fn(g_, pn_):
-        base = chi2_with_planes(g_, pn_, robust_kind, robust_delta)
-        if prior is not None:
-            from semantic_slam_tpu.solver import fixed_lag as fl
-
-            base = base + fl.prior_chi2_planes(
-                prior, g_.poses, g_.landmarks, pn_.planes
-            )
-        return base
-
     lin0 = lin_fn(g, pn)
     chi2_0 = lin0.chi2
     dtype = g.poses.dtype
@@ -269,7 +259,9 @@ def lm_optimize_with_planes(
         g_, pn_, lin, lam, nu, it, done = carry
         dp, db = lm_mod.schur_solve(lin, pose_free, block_free, lam)
         g_t, pn_t = apply(g_, pn_, dp, db)
-        chi2_new = chi2_fn(g_t, pn_t)
+        # speculative relinearization at the trial point (see run_lm_loop)
+        lin_new = lin_fn(g_t, pn_t)
+        chi2_new = lin_new.chi2
 
         delta = jnp.concatenate([dp.reshape(-1), db.reshape(-1)])
         gvec = jnp.concatenate([lin.gp, lin.gl])
@@ -285,20 +277,16 @@ def lm_optimize_with_planes(
         nu = jnp.where(accept, 2.0, nu * 2.0)
         converged = accept & ((lin.chi2 - chi2_new) <= rel_tol * jnp.maximum(lin.chi2, 1e-12))
         done = converged | (lam > 1e12)
-        lin = jax.lax.cond(
-            accept & jnp.logical_not(done),
-            lambda: lin_fn(g_, pn_),
-            lambda: lin,
-        )
+        lin = jax.tree.map(lambda a, b: jnp.where(accept, a, b), lin_new, lin)
         return g_, pn_, lin, lam, nu, it + 1, done
 
     init = (g, pn, lin0, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    g_out, pn_out, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    g_out, pn_out, lin_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
 
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g_out = jax.tree.map(lambda a, b: jnp.where(run, a, b), g_out, g)
     pn_out = jax.tree.map(lambda a, b: jnp.where(run, a, b), pn_out, pn)
-    chi2_f = jnp.where(run, chi2_fn(g_out, pn_out), chi2_0)
+    chi2_f = jnp.where(run, lin_f.chi2, chi2_0)
     stats = lm_mod.LMStats(
         iterations=jnp.where(run, it, 0),
         chi2_initial=chi2_0,

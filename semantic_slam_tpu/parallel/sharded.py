@@ -88,11 +88,8 @@ def sharded_lm_optimize(
         def lin_fn(p, l):
             return _psum_lin(lm_mod.linearize_arrays(p, l, *edges), axis_name)
 
-        def chi2_fn(p, l):
-            return jax.lax.psum(lm_mod.chi2_arrays(p, l, *edges), axis_name)
-
         return lm_mod.run_lm_loop(
-            poses, landmarks, lin_fn, chi2_fn, pose_free, lm_free,
+            poses, landmarks, lin_fn, pose_free, lm_free,
             max_iterations, rel_tol,
         )
 

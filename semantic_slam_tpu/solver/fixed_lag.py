@@ -241,14 +241,8 @@ def lm_optimize_prior(
         )
         return apply_prior(lin, prior, p, l)
 
-    def chi2_fn(p, l):
-        base = lm_mod.chi2_arrays(
-            p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta
-        )
-        return base + prior_chi2(prior, p, l)
-
     poses, landmarks, stats = lm_mod.run_lm_loop(
-        g.poses, g.landmarks, lin_fn, chi2_fn, pose_free, lm_free,
+        g.poses, g.landmarks, lin_fn, pose_free, lm_free,
         max_iterations, rel_tol, init_lambda=init_lambda,
     )
     run = g.num_edges() >= min_edges

@@ -310,7 +310,6 @@ def run_lm_loop(
     poses: jax.Array,
     landmarks: jax.Array,
     linearize_fn: Callable[[jax.Array, jax.Array], Linearization],
-    chi2_fn: Callable[[jax.Array, jax.Array], jax.Array],
     pose_free: jax.Array,
     lm_free: jax.Array,
     max_iterations: int,
@@ -319,13 +318,17 @@ def run_lm_loop(
     init_lambda=0.0,
 ):
     """The damped LM iteration over node variables only (edges are fixed
-    during optimization, so they live inside the two closures — locally or
-    sharded+psum'd).
+    during optimization, so they live inside the linearize closure — locally
+    or sharded+psum'd).
 
-    The current linearization rides in the loop carry and is only rebuilt
-    after an ACCEPTED step (rejected steps retry the same linear system with
-    a larger lambda — exactly what g2o's LM does), so a rejected iteration
-    costs one solve + one chi2 instead of a full relinearization.
+    Each iteration relinearizes SPECULATIVELY at the trial point: the new
+    linearization's ``chi2`` is the trial objective, so an accepted step pays
+    one linearize total (instead of a residual-only pass plus a second full
+    relinearization at the same point), and the carried linearization always
+    matches the carried estimate — its chi2 doubles as the final statistic.
+    A rejected step wastes the trial Jacobians and retries the carried linear
+    system with a larger lambda (what g2o's LM does); with gain-ratio damping
+    and warm-started lambda, rejections are rare, so the trade wins.
 
     ``init_lambda > 0`` (traced) overrides the tau*diag heuristic — the
     warm-start hook: feeding back the previous tick's final lambda skips the
@@ -354,7 +357,8 @@ def run_lm_loop(
         p, l, lin, lam, nu, it, done = carry
         dp, dl = schur_solve(lin, pose_free, lm_free, lam)
         p_new, l_new = retract(p, l, dp, dl)
-        chi2_new = chi2_fn(p_new, l_new)
+        lin_new = linearize_fn(p_new, l_new)
+        chi2_new = lin_new.chi2
 
         delta = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
         gvec = jnp.concatenate([lin.gp, lin.gl])
@@ -374,12 +378,7 @@ def run_lm_loop(
             (lin.chi2 - chi2_new) <= rel_tol * jnp.maximum(lin.chi2, 1e-12)
         )
         done = converged | (lam > 1e12)
-        # relinearize only when the step was taken (and the loop continues)
-        lin = jax.lax.cond(
-            accept & jnp.logical_not(done),
-            lambda: linearize_fn(p, l),
-            lambda: lin,
-        )
+        lin = jax.tree.map(lambda a, b: jnp.where(accept, a, b), lin_new, lin)
         return p, l, lin, lam, nu, it + 1, done
 
     init = (
@@ -391,9 +390,8 @@ def run_lm_loop(
         jnp.zeros((), jnp.int32),
         jnp.zeros((), bool),
     )
-    p, l, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
-    chi2_f = chi2_fn(p, l)
-    return p, l, LMStats(it, chi2_0, chi2_f, lam)
+    p, l, lin_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return p, l, LMStats(it, chi2_0, lin_f.chi2, lam)
 
 
 @partial(
@@ -420,11 +418,8 @@ def lm_optimize(
     def lin_fn(p, l):
         return linearize_arrays(p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta)
 
-    def chi2_fn(p, l):
-        return chi2_arrays(p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta)
-
     poses, landmarks, stats = run_lm_loop(
-        g.poses, g.landmarks, lin_fn, chi2_fn, pose_free, lm_free,
+        g.poses, g.landmarks, lin_fn, pose_free, lm_free,
         max_iterations, rel_tol, init_lambda=init_lambda,
     )
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from semantic_slam_tpu.core import geometry as geo
 from semantic_slam_tpu.graph import residuals as res
 from semantic_slam_tpu.graph.state import GraphState
-from semantic_slam_tpu.solver.lm import LMStats, _free_masks, chi2_arrays, inv33
+from semantic_slam_tpu.solver.lm import LMStats, _free_masks, inv33
 from semantic_slam_tpu.solver.robust import robust_rho, robust_weight
 
 
@@ -440,16 +440,6 @@ def run_lm_loop_pcg(
             Ol=onehot(edge_args[6], L, dtype),
         )
 
-    def chi2_fn(p, l):
-        base = allreduce(
-            chi2_arrays(p, l, *edge_args, robust_kind=robust_kind, robust_delta=robust_delta)
-        )
-        if prior is not None:
-            from semantic_slam_tpu.solver import fixed_lag as fl
-
-            base = base + fl.prior_chi2(prior, p, l)
-        return base
-
     def build(p, l):
         eb = build_edge_blocks(
             p, l, *edge_args, allreduce, robust_kind=robust_kind,
@@ -485,7 +475,11 @@ def run_lm_loop_pcg(
         dp, dl = solve(eb, lam)
         p_new = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
         l_new = l + dl.astype(l.dtype)
-        chi2_new = chi2_fn(p_new, l_new)
+        # speculative relinearization at the trial point: eb_new.chi2 is the
+        # trial objective, so an accepted step pays one build total; a
+        # rejected step retries the carried blocks with a larger lambda
+        eb_new = build(p_new, l_new)
+        chi2_new = eb_new.chi2
 
         delta = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
         gvec = jnp.concatenate([eb.gp.reshape(-1), eb.gl.reshape(-1)])
@@ -503,15 +497,12 @@ def run_lm_loop_pcg(
             (eb.chi2 - chi2_new) <= rel_tol * jnp.maximum(eb.chi2, 1e-12)
         )
         done = converged | (lam > 1e12)
-        # rejected steps retry the SAME edge blocks with a larger lambda
-        eb = jax.lax.cond(
-            accept & jnp.logical_not(done), lambda: build(p, l), lambda: eb
-        )
+        eb = jax.tree.map(lambda a, b: jnp.where(accept, a, b), eb_new, eb)
         return p, l, eb, lam, nu, it + 1, done
 
     init = (poses, landmarks, eb0, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-    p, l, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
-    return p, l, LMStats(it, chi2_0, chi2_fn(p, l), lam)
+    p, l, eb_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return p, l, LMStats(it, chi2_0, eb_f.chi2, lam)
 
 
 def _edge_args(g: GraphState):
@@ -681,7 +672,6 @@ def run_lm_loop_pcg_planes(
     the matrix-free PCG inner solver (scaling-path analog of
     ``graph/planes.lm_optimize_with_planes``). ``prior`` (fixed-lag
     MarginalPrior incl. plane part) is folded into every linearization."""
-    from semantic_slam_tpu.graph import residuals as gres
     from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
     from semantic_slam_tpu.solver.plane_ba import plane_retract
 
@@ -690,7 +680,7 @@ def run_lm_loop_pcg_planes(
     L = landmarks.shape[0]
     Pl = planes.shape[0]
     block_free = jnp.concatenate([lm_free, plane_free])
-    pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
+    pe_k, pe_p = plane_args[0], plane_args[1]
 
     oh = None
     if resolve_assembly(assembly) == "matmul":
@@ -704,20 +694,6 @@ def run_lm_loop_pcg_planes(
                 jnp.concatenate([edge_args[6], pe_p + L]), L + Pl, dtype
             ),
         )
-
-    def chi2_fn(p, l, pl):
-        base = chi2_arrays(
-            p, l, *edge_args, robust_kind=robust_kind, robust_delta=robust_delta
-        )
-        r_p = jax.vmap(gres.se3_plane_residual)(p[pe_k], pl[pe_p], pe_meas)
-        chi_p = jnp.einsum("ei,eij,ej->e", r_p, pe_info, r_p)
-        chi_p = robust_rho(chi_p, robust_kind, robust_delta)
-        out = allreduce(base + jnp.sum(chi_p * pe_mask.astype(dtype)))
-        if prior is not None:
-            from semantic_slam_tpu.solver import fixed_lag as fl
-
-            out = out + fl.prior_chi2_planes(prior, p, l, pl)
-        return out
 
     def build(p, l, pl):
         eb = build_edge_blocks_with_planes(
@@ -756,7 +732,9 @@ def run_lm_loop_pcg_planes(
             precond_kind=precond_kind, prior=prior, oh=oh,
         )
         p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
-        chi2_new = chi2_fn(p_new, l_new, pl_new)
+        # speculative relinearization at the trial point (see run_lm_loop_pcg)
+        eb_new = build(p_new, l_new, pl_new)
+        chi2_new = eb_new.chi2
 
         delta = jnp.concatenate([dp.reshape(-1), db.reshape(-1)])
         gvec = jnp.concatenate([eb.gp.reshape(-1), eb.gl.reshape(-1)])
@@ -775,17 +753,15 @@ def run_lm_loop_pcg_planes(
             (eb.chi2 - chi2_new) <= rel_tol * jnp.maximum(eb.chi2, 1e-12)
         )
         done = converged | (lam > 1e12)
-        eb = jax.lax.cond(
-            accept & jnp.logical_not(done), lambda: build(p, l, pl), lambda: eb
-        )
+        eb = jax.tree.map(lambda a, b: jnp.where(accept, a, b), eb_new, eb)
         return p, l, pl, eb, lam, nu, it + 1, done
 
     init = (
         poses, landmarks, planes, eb0, lam0,
         jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
     )
-    p, l, pl, _, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
-    return p, l, pl, LMStats(it, chi2_0, chi2_fn(p, l, pl), lam)
+    p, l, pl, eb_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return p, l, pl, LMStats(it, chi2_0, eb_f.chi2, lam)
 
 
 @partial(
