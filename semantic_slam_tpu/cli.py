@@ -134,6 +134,12 @@ def cmd_run(args) -> None:
             gt = [replay_mod.GtEvent(float(t), p) for t, p in zip(gt_t, gt_p)]
 
         log = _GtOnly()
+    elif args.log.endswith(".bag"):
+        # recorded ROS session (rosbag v2.0) — the reference's native input
+        from semantic_slam_tpu.io.rosbag import read_bag
+
+        log = read_bag(args.log)
+        replay_mod.replay(log, engine)
     else:
         log = replay_mod.load_log(args.log)
         replay_mod.replay(log, engine)
@@ -313,6 +319,19 @@ def cmd_merge(args) -> None:
     print(json.dumps(summary, indent=1))
 
 
+def cmd_baginfo(args) -> None:
+    """Topic/type/count summary of a recorded ROS bag (rosbag-info analog)."""
+    from semantic_slam_tpu.io.rosbag import DEFAULT_TOPIC_MAP, bag_info
+
+    info = bag_info(args.bag)
+    width = max((len(t) for t in info), default=0)
+    for topic in sorted(info):
+        msg_type, count = info[topic]
+        route = DEFAULT_TOPIC_MAP.get(topic)
+        used = f" -> {route[0]}" + (f" ({route[1]})" if route and route[1] else "") if route else ""
+        print(f"{topic:<{width}}  {count:>7} msgs  {msg_type}{used}")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="semantic_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -343,7 +362,9 @@ def main(argv=None) -> None:
     )
     ps.set_defaults(fn=cmd_synth)
 
-    pr = sub.add_parser("run", help="replay a log through the SLAM engine")
+    pr = sub.add_parser(
+        "run", help="replay a log (.npz / .slog / ROS .bag) through the SLAM engine"
+    )
     pr.add_argument("--log", required=True)
     pr.add_argument("--profile", default="yolo_detector")
     pr.add_argument("--out", default="results")
@@ -412,6 +433,12 @@ def main(argv=None) -> None:
     pm.add_argument("--plane-landmarks", action="store_true")
     pm.add_argument("--cpu", action="store_true")
     pm.set_defaults(fn=cmd_merge)
+
+    pb = sub.add_parser(
+        "baginfo", help="list topics/types/counts of a recorded ROS bag"
+    )
+    pb.add_argument("bag", help="rosbag v2.0 file")
+    pb.set_defaults(fn=cmd_baginfo)
 
     args = p.parse_args(argv)
     args.fn(args)
