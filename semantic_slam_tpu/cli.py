@@ -51,6 +51,12 @@ def cmd_synth(args) -> None:
         from semantic_slam_tpu import native
 
         native.write_slog(args.out, log, height=args.height, width=args.width)
+    elif args.out.endswith(".bag"):
+        # reference-ready rosbag: play the synthetic scene into the ACTUAL
+        # reference node (rosbag play) for A/B comparison
+        from semantic_slam_tpu.io.rosbag_write import write_bag
+
+        write_bag(args.out, log)
     else:
         replay_mod.save_log(args.out, log)
     print(
@@ -337,7 +343,11 @@ def main(argv=None) -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("synth", help="generate a synthetic replay log")
-    ps.add_argument("--out", required=True)
+    ps.add_argument(
+        "--out", required=True,
+        help=".npz / .slog replay log, or .bag (reference-ready rosbag 2.0 "
+        "on the reference node's subscription topics)",
+    )
     ps.add_argument("--steps", type=int, default=720)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--sensor-every", type=int, default=3)
