@@ -221,6 +221,15 @@ def cmd_run(args) -> None:
 
     export_session(args.out, engine, grid)
 
+    if args.viz_bag:
+        # the reference's live publisher surface, replayable in stock rviz
+        from semantic_slam_tpu.viz.rviz_bag import write_viz_bag
+
+        write_viz_bag(
+            os.path.join(args.out, "viz.bag"), engine, grid,
+            path_stride=max(1, len(engine.keyframes) // 64),
+        )
+
     # --- in-process evaluation -------------------------------------------
     summary = {
         "profile": args.profile,
@@ -381,6 +390,12 @@ def main(argv=None) -> None:
     pr.add_argument("--save-graph", action="store_true")
     pr.add_argument("--checkpoint", action="store_true")
     pr.add_argument("--voxel", action="store_true")
+    pr.add_argument(
+        "--viz-bag", action="store_true",
+        help="also write <out>/viz.bag: the reference's publisher surface "
+        "(paths, PoseArray, landmark MarkerArray, map->odom /tf, occupancy "
+        "CUBE_LIST) for rosbag play + stock rviz",
+    )
     pr.add_argument("--compute-ate", action="store_true")
     pr.add_argument("--cpu", action="store_true", help="force the CPU backend")
     pr.add_argument(

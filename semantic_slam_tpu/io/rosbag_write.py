@@ -94,6 +94,32 @@ MSG_DEFS: dict[str, str] = {
         "sensor_msgs/PointField[] fields\nbool is_bigendian\n"
         "uint32 point_step\nuint32 row_step\nuint8[] data\nbool is_dense\n"
     ),
+    # output/visualization types — the reference's publisher surface
+    # (semantic_graph_slam_ros.cpp:94-110): paths, pose arrays, landmark
+    # markers, map->odom TF
+    "std_msgs/ColorRGBA": "float32 r\nfloat32 g\nfloat32 b\nfloat32 a\n",
+    "nav_msgs/Path": "Header header\ngeometry_msgs/PoseStamped[] poses\n",
+    "geometry_msgs/PoseArray": "Header header\ngeometry_msgs/Pose[] poses\n",
+    "geometry_msgs/Transform": (
+        "geometry_msgs/Vector3 translation\ngeometry_msgs/Quaternion rotation\n"
+    ),
+    "geometry_msgs/TransformStamped": (
+        "Header header\nstring child_frame_id\ngeometry_msgs/Transform transform\n"
+    ),
+    "tf2_msgs/TFMessage": "geometry_msgs/TransformStamped[] transforms\n",
+    "visualization_msgs/Marker": (
+        "uint8 ARROW=0\nuint8 CUBE=1\nuint8 SPHERE=2\nuint8 CYLINDER=3\n"
+        "uint8 LINE_STRIP=4\nuint8 LINE_LIST=5\nuint8 CUBE_LIST=6\n"
+        "uint8 SPHERE_LIST=7\nuint8 POINTS=8\nuint8 TEXT_VIEW_FACING=9\n"
+        "uint8 MESH_RESOURCE=10\nuint8 TRIANGLE_LIST=11\n"
+        "uint8 ADD=0\nuint8 MODIFY=0\nuint8 DELETE=2\nuint8 DELETEALL=3\n"
+        "Header header\nstring ns\nint32 id\nint32 type\nint32 action\n"
+        "geometry_msgs/Pose pose\ngeometry_msgs/Vector3 scale\n"
+        "std_msgs/ColorRGBA color\nduration lifetime\nbool frame_locked\n"
+        "geometry_msgs/Point[] points\nstd_msgs/ColorRGBA[] colors\n"
+        "string text\nstring mesh_resource\nbool mesh_use_embedded_materials\n"
+    ),
+    "visualization_msgs/MarkerArray": "visualization_msgs/Marker[] markers\n",
     # the darknet_ros release layout the reference's launch files pair with
     "darknet_ros_msgs/BoundingBox": (
         "float64 probability\nint64 xmin\nint64 ymin\nint64 xmax\nint64 ymax\n"

@@ -1,0 +1,175 @@
+"""Viz-bag export: the reference's publisher surface serialized as a bag.
+
+The reference publishes optimized Path/PoseArray, a landmark MarkerArray
+with per-class colors and h/v-dependent cuboid scales, the corrected robot
+pose, the VIO path, and the map->odom TF
+(semantic_graph_slam_ros.cpp:94-110,227-452); rviz renders them. Here the
+same topics (md5-pinned standard types) are written by write_viz_bag and
+validated by decoding the bag with the generic reader.
+"""
+
+import numpy as np
+import pytest
+
+from semantic_slam_tpu.config import (
+    AssociationConfig,
+    CapacityConfig,
+    InformationConfig,
+    KeyframeConfig,
+    SegmentationConfig,
+    SlamConfig,
+    SolverConfig,
+)
+from semantic_slam_tpu.io import replay as replay_mod
+from semantic_slam_tpu.io import synthetic as synth_mod
+from semantic_slam_tpu.io.rosbag import bag_info, read_messages
+from semantic_slam_tpu.io import rosbag_write as rw
+from semantic_slam_tpu.runtime.engine import SlamEngine
+from semantic_slam_tpu.viz.markers import CLASS_COLORS
+from semantic_slam_tpu.viz.rviz_bag import voxel_markers, write_viz_bag
+
+# official ROS constants for the output-surface types
+KNOWN_MD5 = {
+    "std_msgs/ColorRGBA": "a29a96539573343b1310c73607334b00",
+    "nav_msgs/Path": "6227e2b7e9cce15051f669a5e197bbf7",
+    "geometry_msgs/PoseArray": "916c28c5764443f268b296bb671b9d97",
+    "geometry_msgs/Transform": "ac9eff44abf714214112b05d54a3cf9b",
+    "geometry_msgs/TransformStamped": "b5764a33bfeb3588febc2682852579b0",
+    "tf2_msgs/TFMessage": "94810edda583a504dfda3829e70d7eec",
+    "visualization_msgs/Marker": "4048c9de2a16f4ae8e0538085ebf1b97",
+    "visualization_msgs/MarkerArray": "d155b9ce5188fbaf89745847fd5882d7",
+}
+
+
+@pytest.mark.parametrize("msg_type", sorted(KNOWN_MD5))
+def test_known_md5(msg_type):
+    assert rw.compute_md5(msg_type) == KNOWN_MD5[msg_type]
+
+
+@pytest.fixture(scope="module")
+def session():
+    log = synth_mod.make_synthetic_log(
+        seed=3, n_steps=180, sensor_every=5, drift_noise=0.008, loops=1.0
+    )
+    cfg = SlamConfig(
+        camera_angle_deg=0.0,
+        strict_reference_frames=True,
+        keyframe=KeyframeConfig(delta_trans=0.4, delta_angle=0.4, delta_time=2.0),
+        segmentation=SegmentationConfig(
+            num_point_seg=100, norm_point_thres=400, planar_area=0.01,
+            crop_height=64, crop_width=64, max_planes_per_detection=2,
+            num_hypotheses=64, normal_smoothing_size=10,
+        ),
+        association=AssociationConfig(
+            use_maha_dist=False, use_eq_dist=True, eq_dist_thres=1.0,
+            land_noise_low=0.1,
+        ),
+        information=InformationConfig(
+            use_const_inf_matrix=True, const_stddev_x=0.00667,
+            const_stddev_q=0.00001,
+        ),
+        solver=SolverConfig(max_iterations=16, dtype="float64"),
+        capacity=CapacityConfig(
+            max_keyframes=64, max_landmarks=16, max_odom_edges=64,
+            max_landmark_edges=256, max_detections_per_frame=4,
+        ),
+    )
+    eng = SlamEngine(cfg)
+    replay_mod.replay(log, eng)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def viz_bag(session, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("viz") / "viz.bag")
+    counts = write_viz_bag(path, session, path_stride=3)
+    msgs: dict[str, list] = {}
+    for topic, _, t, msg in read_messages(path):
+        msgs.setdefault(topic, []).append((t, msg))
+    return path, counts, msgs
+
+
+class TestVizBag:
+    def test_topics_and_counts(self, session, viz_bag):
+        path, counts, msgs = viz_bag
+        n = len(session.keyframes)
+        info = bag_info(path)
+        assert info["/robot_pose"] == ("geometry_msgs/PoseStamped", n)
+        assert info["/tf"] == ("tf2_msgs/TFMessage", n)
+        assert info["/corres_vio_path"] == ("nav_msgs/Path", 1)
+        assert info["/mapped_landmarks"][0] == "visualization_msgs/MarkerArray"
+        assert counts == {t: c for t, (_, c) in info.items()}
+
+    def test_progressive_path_and_final_full(self, session, viz_bag):
+        _, _, msgs = viz_bag
+        paths = [m for _, m in msgs["/robot_path"]]
+        lengths = [len(p["poses"]) for p in paths]
+        assert lengths == sorted(lengths)
+        assert lengths[-1] == len(session.keyframes)
+        # poses match the engine's optimized trajectory
+        last = paths[-1]["poses"]
+        kf = session.get_keyframe_poses()
+        got = np.array([
+            [pp["pose"]["position"][k] for k in "xyz"] for pp in last
+        ])
+        np.testing.assert_allclose(got, kf[:, :3], atol=1e-9)
+
+    def test_robot_pose_stream_stamped_in_order(self, session, viz_bag):
+        _, _, msgs = viz_bag
+        ts = [t for t, _ in msgs["/robot_pose"]]
+        assert ts == sorted(ts)
+        assert ts[0] >= 1e9  # epoch-rebased (ROS time is unsigned)
+
+    def test_final_tf_matches_engine_map2odom(self, session, viz_bag):
+        _, _, msgs = viz_bag
+        tf = msgs["/tf"][-1][1]["transforms"][0]
+        assert tf["header"]["frame_id"] == "map"
+        assert tf["child_frame_id"] == "odom"
+        m2o = session.get_map2odom()
+        tr, q = tf["transform"]["translation"], tf["transform"]["rotation"]
+        np.testing.assert_allclose(
+            [tr["x"], tr["y"], tr["z"]], m2o[:3], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            [q["w"], q["x"], q["y"], q["z"]], m2o[3:], atol=1e-9
+        )
+
+    def test_landmark_markers(self, session, viz_bag):
+        _, _, msgs = viz_bag
+        lms = session.get_mapped_landmarks()
+        assert len(lms["pose"]) > 0, "fixture must map landmarks"
+        markers = msgs["/mapped_landmarks"][0][1]["markers"]
+        assert len(markers) == len(lms["pose"])
+        for i, m in enumerate(markers):
+            assert m["ns"] == "mapped_landmarks" and m["type"] == 1  # CUBE
+            cid = int(lms["class_id"][i])
+            r, g, b = CLASS_COLORS.get(cid, (0.5, 0.5, 0.5))
+            assert (m["color"]["r"], m["color"]["g"], m["color"]["b"]) == (
+                pytest.approx(r), pytest.approx(g), pytest.approx(b)
+            )
+            # h/v scale rule: horizontal = thin in z, vertical = thin in x
+            hv = int(lms["plane_type"][i])
+            thin = "z" if hv == 0 else "x"
+            assert m["scale"][thin] == pytest.approx(0.05)
+            np.testing.assert_allclose(
+                [m["pose"]["position"][k] for k in "xyz"],
+                lms["pose"][i], atol=1e-9,
+            )
+
+    def test_vio_path_matches_traj(self, session, viz_bag):
+        _, _, msgs = viz_bag
+        vio = msgs["/corres_vio_path"][0][1]["poses"]
+        assert len(vio) == len(session.vio_traj)
+
+
+class TestVoxelMarkers:
+    def test_cube_list(self):
+        centers = np.array([[0.0, 0.0, 0.0], [0.1, 0.0, 0.0], [0.0, 0.1, 0.2]])
+        arr = voxel_markers(5.0, centers, 0.05)
+        (m,) = arr["markers"]
+        assert m["type"] == 6 and m["ns"] == "occupancy"  # CUBE_LIST
+        assert len(m["points"]) == 3
+        assert m["scale"] == {"x": 0.05, "y": 0.05, "z": 0.05}
+        # the marker survives serialization through the real encoder
+        data = rw.serialize_message("visualization_msgs/MarkerArray", arr)
+        assert len(data) > 100
