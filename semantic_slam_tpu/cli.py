@@ -132,6 +132,13 @@ def cmd_run(args) -> None:
         )
 
     engine = SlamEngine(cfg)
+    if args.resume:
+        # continue a stopped/crashed session: full solver + association +
+        # trajectory state restores, then this log's events keep ingesting
+        # (the reference has no load path at all — SURVEY.md §5)
+        from semantic_slam_tpu.io.checkpoint import load_checkpoint
+
+        load_checkpoint(args.resume, engine)
     if args.log.endswith(".slog"):
         replay_mod.replay_slog(args.log, engine)
         gt_t, gt_p = replay_mod.slog_gt(args.log)
@@ -389,6 +396,11 @@ def main(argv=None) -> None:
     pr.add_argument("--out", default="results")
     pr.add_argument("--save-graph", action="store_true")
     pr.add_argument("--checkpoint", action="store_true")
+    pr.add_argument(
+        "--resume", default="",
+        help="engine checkpoint .npz to restore before replaying (continue "
+        "a stopped/crashed session; pair with --checkpoint/autosave)",
+    )
     pr.add_argument("--voxel", action="store_true")
     pr.add_argument(
         "--viz-bag", action="store_true",

@@ -193,6 +193,58 @@ class TestVizAndCli:
         assert os.path.exists(os.path.join(merged, "merged_pose.txt"))
         assert os.path.exists(os.path.join(merged, "merged_graph.g2o"))
 
+    def test_cli_resume_continues_session(self, tmp_path):
+        """run --resume: restore a checkpointed session and keep ingesting —
+        the trajectory spans both halves and keyframes keep accumulating
+        (the reference has no load path at all, SURVEY.md §5)."""
+        import dataclasses as dc
+
+        from semantic_slam_tpu import cli
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+
+        log = synth_mod.make_synthetic_log(
+            seed=7, n_steps=160, sensor_every=6, H=120, W=160, loops=1.0
+        )
+        t_mid = log.odom[len(log.odom) // 2].t
+
+        def half(keep):
+            return dc.replace(
+                log,
+                odom=[e for e in log.odom if keep(e.t)],
+                clouds=[e for e in log.clouds if keep(e.t)],
+                depths=[e for e in log.depths if keep(e.t)],
+                detections=[e for e in log.detections if keep(e.t)],
+                gt=[e for e in log.gt if keep(e.t)],
+            )
+
+        p1 = str(tmp_path / "p1.npz")
+        p2 = str(tmp_path / "p2.npz")
+        replay_mod.save_log(p1, half(lambda t: t < t_mid))
+        replay_mod.save_log(p2, half(lambda t: t >= t_mid))
+
+        base = [
+            "--profile", "yolo_detector", "--cpu",
+            "--max-keyframes", "64", "--crop-size", "64",
+        ]
+        out1 = str(tmp_path / "run1")
+        cli.main(["run", "--log", p1, "--out", out1, "--checkpoint"] + base)
+        out2 = str(tmp_path / "run2")
+        cli.main([
+            "run", "--log", p2, "--out", out2, "--compute-ate",
+            "--resume", os.path.join(out1, "checkpoint.npz"),
+        ] + base)
+
+        n1 = json.load(open(os.path.join(out1, "summary.json")))["keyframes"]
+        s2 = json.load(open(os.path.join(out2, "summary.json")))
+        assert s2["keyframes"] > n1  # part-1 keyframes survived + new ones
+        stamps = [
+            float(line.split()[0])
+            for line in open(os.path.join(out2, "robot_pose.txt"))
+            if line.strip() and not line.startswith("#")
+        ]
+        assert min(stamps) < t_mid < max(stamps)  # trajectory spans the split
+
     def test_marker_colors_match_reference_quirk(self):
         from semantic_slam_tpu.viz.markers import CLASS_COLORS
 
