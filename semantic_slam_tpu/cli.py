@@ -226,7 +226,7 @@ def cmd_run(args) -> None:
 
     from semantic_slam_tpu.viz.markers import export_session
 
-    export_session(args.out, engine, grid)
+    voxel_centers = export_session(args.out, engine, grid)
 
     if args.viz_bag:
         # the reference's live publisher surface, replayable in stock rviz
@@ -235,6 +235,7 @@ def cmd_run(args) -> None:
         write_viz_bag(
             os.path.join(args.out, "viz.bag"), engine, grid,
             path_stride=max(1, len(engine.keyframes) // 64),
+            voxel_centers=voxel_centers,
         )
 
     # --- in-process evaluation -------------------------------------------

@@ -299,9 +299,12 @@ def _field_encoder(
     return msg_array
 
 
+_ENCODER_MEMO: dict[str, Callable] = {}
+
+
 def serialize_message(full_type: str, msg: dict) -> bytes:
     out = bytearray()
-    _encoder_for(full_type)(out, msg)
+    _encoder_for(full_type, _ENCODER_MEMO)(out, msg)
     return bytes(out)
 
 
@@ -348,6 +351,7 @@ class BagWriter:
         self._compression = compression
         self._chunk_threshold = chunk_threshold
         self._conns: dict[str, int] = {}          # topic -> conn id
+        self._conn_types: dict[int, str] = {}     # conn id -> declared type
         self._conn_hdrs: list[tuple[dict, bytes]] = []
         self._conns_in_cur_chunk: set[int] = set()
         self._chunk = bytearray()
@@ -374,9 +378,17 @@ class BagWriter:
                        definition: str | None = None,
                        md5sum: str | None = None) -> int:
         if topic in self._conns:
-            return self._conns[topic]
+            cid = self._conns[topic]
+            declared = self._conn_types[cid]
+            if declared != msg_type:
+                raise ValueError(
+                    f"topic {topic!r} already declared as {declared}; "
+                    f"cannot also write {msg_type} (one type per connection)"
+                )
+            return cid
         cid = len(self._conns)
         self._conns[topic] = cid
+        self._conn_types[cid] = msg_type
         hdr = {"op": bytes([_OP_CONN]), "conn": _U32.pack(cid),
                "topic": topic.encode()}
         data = _pack_header({
@@ -391,9 +403,11 @@ class BagWriter:
         return cid
 
     def write(self, topic: str, t: float, msg_type: str, msg: dict) -> None:
-        cid = self._conns.get(topic)
-        if cid is None:
-            cid = self.add_connection(topic, msg_type)
+        cid = self.add_connection(topic, msg_type)
+        # pack (and so validate) the timestamp BEFORE touching the chunk
+        # index: a rejected time must not leave a phantom index entry that
+        # corrupts the bag when close() flushes
+        packed_t = _pack_time(t)
         if cid not in self._conns_in_cur_chunk:
             hdr, data = self._conn_hdrs[cid]
             self._chunk += _record(hdr, data)
@@ -401,7 +415,7 @@ class BagWriter:
         self._chunk_index.setdefault(cid, []).append((t, len(self._chunk)))
         self._chunk += _record(
             {"op": bytes([_OP_MSG]), "conn": _U32.pack(cid),
-             "time": _pack_time(t)},
+             "time": packed_t},
             serialize_message(msg_type, msg),
         )
         if len(self._chunk) >= self._chunk_threshold:
@@ -482,17 +496,30 @@ DETECTION_TOPIC = "/darknet_ros/bounding_boxes"
 GT_TOPIC = "/vrpn_client_node/realsense/pose"
 
 
+def epoch_offset(t_min: float) -> float:
+    """ROS time is unsigned and t=0 means "uninitialized": logs stamped near
+    (or before) zero get every stamp shifted onto a fixed 1e9-second epoch
+    base; logs already past t=1 keep their stamps. Shared by every bag
+    exporter so the input and viz surfaces agree on the time base."""
+    return 0.0 if t_min >= 1.0 else 1e9 - min(0.0, t_min)
+
+
 def _header(t: float, seq: int, frame_id: str) -> dict:
     return {"seq": seq, "stamp": t, "frame_id": frame_id}
 
 
-def _pose_msg(pose7: np.ndarray) -> dict:
-    # graph state is [t, w, x, y, z]; ROS quaternions are xyzw on the wire
+def pose_msg(pose7: np.ndarray) -> dict:
+    """pose7 -> geometry_msgs/Pose dict. Graph state is [t, w, x, y, z];
+    ROS quaternions are xyzw on the wire. Shared by every bag exporter so
+    the quaternion convention cannot drift between surfaces."""
     return {
         "position": {"x": pose7[0], "y": pose7[1], "z": pose7[2]},
         "orientation": {"x": pose7[4], "y": pose7[5], "z": pose7[6],
                         "w": pose7[3]},
     }
+
+
+_pose_msg = pose_msg
 
 
 def _odom_msg(ev: OdomEvent, seq: int) -> tuple[str, str, dict]:
@@ -587,7 +614,9 @@ def write_bag(path: str, log: ReplayLog, compression: str = "none",
     for ev in log.clouds:
         events.append((ev.t, 0, ev))
     for ev in log.depths:
-        events.append((ev.t, 0, _depth_to_cloud(ev)))
+        # converted lazily in the write loop — materializing every frame's
+        # float32 XYZ cloud up front would hold the whole session in memory
+        events.append((ev.t, 0, ev))
     for ev in log.detections:
         events.append((ev.t, 1, ev))
     for ev in log.gt:
@@ -596,13 +625,14 @@ def write_bag(path: str, log: ReplayLog, compression: str = "none",
     events.sort(key=lambda e: (e[0], e[1]))
 
     if time_offset is None:
-        t_min = events[0][0] if events else 0.0
-        time_offset = 0.0 if t_min >= 1.0 else 1e9 - min(0.0, t_min)
+        time_offset = epoch_offset(events[0][0] if events else 0.0)
 
     seqs: dict[str, int] = {}
     with BagWriter(path, compression, chunk_threshold) as bag:
         for t0, _, ev in events:
             t = t0 + time_offset
+            if isinstance(ev, DepthEvent):
+                ev = _depth_to_cloud(ev)
             ev = dataclasses.replace(ev, t=t)
             if isinstance(ev, OdomEvent):
                 topic, msg_type, msg = _odom_msg(ev, seqs.get(ev.source, 0))

@@ -75,8 +75,12 @@ def write_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None) -
             f.write(row + "\n")
 
 
-def export_session(out_dir: str, engine, grid=None) -> None:
-    """One-call dump of the full viz surface for a finished session."""
+def export_session(out_dir: str, engine, grid=None) -> np.ndarray | None:
+    """One-call dump of the full viz surface for a finished session.
+
+    Returns the occupied voxel centers when a grid was given (the extraction
+    is a full-grid device fetch — callers like ``run --viz-bag`` reuse it
+    instead of running it twice), else None."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -88,9 +92,11 @@ def export_session(out_dir: str, engine, grid=None) -> None:
     kfs = engine.get_keyframe_poses()
     if len(kfs):
         write_ply(os.path.join(out_dir, "keyframes.ply"), kfs[:, :3])
-    if grid is not None:
-        from semantic_slam_tpu.mapping.voxel import occupied_centers
+    if grid is None:
+        return None
+    from semantic_slam_tpu.mapping.voxel import occupied_centers
 
-        centers = occupied_centers(grid)
-        if len(centers):
-            write_ply(os.path.join(out_dir, "occupancy.ply"), centers)
+    centers = occupied_centers(grid)
+    if len(centers):
+        write_ply(os.path.join(out_dir, "occupancy.ply"), centers)
+    return centers

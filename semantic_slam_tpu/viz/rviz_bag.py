@@ -19,8 +19,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from semantic_slam_tpu.config import SEMANTIC_CLASSES
-from semantic_slam_tpu.io.rosbag_write import BagWriter
+from semantic_slam_tpu.core import np_geometry as npg
+from semantic_slam_tpu.io.rosbag_write import (
+    BagWriter,
+    epoch_offset,
+    pose_msg as _pose_msg,
+)
 from semantic_slam_tpu.viz.markers import CLASS_COLORS
 
 MAP_FRAME = "map"
@@ -29,15 +33,6 @@ ODOM_FRAME = "odom"
 
 def _header(t: float, seq: int, frame: str = MAP_FRAME) -> dict:
     return {"seq": seq, "stamp": t, "frame_id": frame}
-
-
-def _pose_msg(pose7) -> dict:
-    # graph state is [t, w, x, y, z]; ROS quaternions are xyzw on the wire
-    return {
-        "position": {"x": pose7[0], "y": pose7[1], "z": pose7[2]},
-        "orientation": {"x": pose7[4], "y": pose7[5], "z": pose7[6],
-                        "w": pose7[3]},
-    }
 
 
 def _color(rgb, a: float = 1.0) -> dict:
@@ -128,20 +123,21 @@ def _tf_msg(t: float, seq: int, map2odom7) -> dict:
 
 
 def write_viz_bag(path: str, engine, grid=None, compression: str = "none",
-                  path_stride: int = 1) -> dict[str, int]:
+                  path_stride: int = 1, voxel_centers=None) -> dict[str, int]:
     """Serialize a finished ``SlamEngine`` session's outputs as a bag.
 
     ``path_stride`` thins the progressive Path/PoseArray re-publishes (the
     full path is re-sent per emission like the reference does per tick, so
     long sessions can set a stride > 1); the final full path is always
-    written. Returns {topic: message_count}.
+    written. ``voxel_centers`` short-circuits the occupancy extraction when
+    the caller already computed ``occupied_centers(grid)`` (cmd_run does,
+    for occupancy.ply). Returns {topic: message_count}.
     """
     kf_stamps = [float(k.stamp) for k in engine.keyframes]
     kf_poses = np.asarray(engine.get_keyframe_poses(), np.float64)
     vio = [(float(t), np.asarray(p, np.float64)) for t, p in engine.vio_traj]
 
-    t0 = min([kf_stamps[0]] if kf_stamps else [0.0])
-    offset = 0.0 if t0 >= 1.0 else 1e9 - min(0.0, t0)
+    offset = epoch_offset(kf_stamps[0] if kf_stamps else 0.0)
 
     counts: dict[str, int] = {}
     with BagWriter(path, compression) as bag:
@@ -162,9 +158,16 @@ def write_viz_bag(path: str, engine, grid=None, compression: str = "none",
                 emit("/keyframe_poses", t, "geometry_msgs/PoseArray",
                      {"header": _header(ts, i),
                       "poses": [_pose_msg(p) for p in kf_poses[: i + 1]]})
-            emit("/tf", t, "tf2_msgs/TFMessage",
-                 _tf_msg(ts, i, np.asarray(engine.get_map2odom(), np.float64)
-                         if i == n - 1 else _incremental_map2odom(engine, i)))
+            # map->odom at keyframe i: correction between the optimized pose
+            # and its raw odometry (publishMap2OdomTF semantics, cpp:437-452).
+            # kf_poses was bulk-fetched once above — pure-numpy math here, no
+            # per-keyframe device fetches (CLAUDE.md: every eager jnp op is a
+            # tunnel round trip)
+            m2o = (np.asarray(engine.get_map2odom(), np.float64)
+                   if i == n - 1 else
+                   npg.pose_mul(kf_poses[i], npg.pose_inv(
+                       np.asarray(engine.keyframes[i].odom, np.float64))))
+            emit("/tf", t, "tf2_msgs/TFMessage", _tf_msg(ts, i, m2o))
 
         if vio:
             t_end = vio[-1][0]
@@ -178,25 +181,12 @@ def write_viz_bag(path: str, engine, grid=None, compression: str = "none",
             emit("/mapped_landmarks", t_last, "visualization_msgs/MarkerArray",
                  landmark_markers(t_last + offset, lms))
         if grid is not None:
-            from semantic_slam_tpu.mapping.voxel import occupied_centers
+            if voxel_centers is None:
+                from semantic_slam_tpu.mapping.voxel import occupied_centers
 
-            centers = occupied_centers(grid)
-            if len(centers):
+                voxel_centers = occupied_centers(grid)
+            if len(voxel_centers):
                 emit("/occupancy", t_last, "visualization_msgs/MarkerArray",
-                     voxel_markers(t_last + offset, centers,
+                     voxel_markers(t_last + offset, voxel_centers,
                                    float(grid.resolution)))
     return counts
-
-
-def _incremental_map2odom(engine, i: int):
-    """map->odom at keyframe i: correction from the i-th optimized pose and
-    its raw odometry (publishMap2OdomTF semantics, cpp:437-452). Falls back
-    to identity when per-keyframe odometry is unavailable."""
-    try:
-        from semantic_slam_tpu.core import np_geometry as npg
-
-        kf = engine.keyframes[i]
-        est = np.asarray(engine.get_keyframe_pose(kf), np.float64)
-        return npg.pose_mul(est, npg.pose_inv(np.asarray(kf.odom, np.float64)))
-    except Exception:
-        return np.array(_IDENT7)
