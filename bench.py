@@ -26,7 +26,9 @@ import numpy as np
 
 K, L, E2 = 512, 128, 2048
 ITERS = 16
-REPEATS = 2
+# the tunnel's execution speed swings run to run (CLAUDE.md); min over 3
+# distinct-graph repeats samples it more reliably than 2 at ~seconds cost
+REPEATS = 3
 
 
 def tpu_ms_per_iter():
