@@ -131,6 +131,16 @@ def cmd_run(args) -> None:
             segmentation=dataclasses.replace(cfg.segmentation, adaptive_normals=True)
         )
 
+    import contextlib
+
+    trace_ctx = contextlib.nullcontext()
+    if args.xla_trace:
+        # kernel-level XLA trace of the whole replay (TensorBoard/xprof);
+        # the reference's only profiling is a verbose wall-clock print
+        from semantic_slam_tpu.utils.profiling import xla_trace
+
+        trace_ctx = xla_trace(args.xla_trace)
+
     engine = SlamEngine(cfg)
     if args.resume:
         # continue a stopped/crashed session: full solver + association +
@@ -139,25 +149,26 @@ def cmd_run(args) -> None:
         from semantic_slam_tpu.io.checkpoint import load_checkpoint
 
         load_checkpoint(args.resume, engine)
-    if args.log.endswith(".slog"):
-        replay_mod.replay_slog(args.log, engine)
-        gt_t, gt_p = replay_mod.slog_gt(args.log)
+    with trace_ctx:
+        if args.log.endswith(".slog"):
+            replay_mod.replay_slog(args.log, engine)
+            gt_t, gt_p = replay_mod.slog_gt(args.log)
 
-        class _GtOnly:
-            gt = [replay_mod.GtEvent(float(t), p) for t, p in zip(gt_t, gt_p)]
+            class _GtOnly:
+                gt = [replay_mod.GtEvent(float(t), p) for t, p in zip(gt_t, gt_p)]
 
-        log = _GtOnly()
-    elif args.log.endswith(".bag"):
-        # recorded ROS session (rosbag v2.0) — the reference's native input
-        from semantic_slam_tpu.io.rosbag import read_bag
+            log = _GtOnly()
+        elif args.log.endswith(".bag"):
+            # recorded ROS session (rosbag v2.0) — the reference's native input
+            from semantic_slam_tpu.io.rosbag import read_bag
 
-        log = read_bag(args.log)
-        replay_mod.replay(log, engine)
-    else:
-        log = replay_mod.load_log(args.log)
-        replay_mod.replay(log, engine)
-    if args.optimize_every > 1:
-        engine.finalize()
+            log = read_bag(args.log)
+            replay_mod.replay(log, engine)
+        else:
+            log = replay_mod.load_log(args.log)
+            replay_mod.replay(log, engine)
+        if args.optimize_every > 1:
+            engine.finalize()
 
     os.makedirs(args.out, exist_ok=True)
 
@@ -401,6 +412,11 @@ def main(argv=None) -> None:
         "--resume", default="",
         help="engine checkpoint .npz to restore before replaying (continue "
         "a stopped/crashed session; pair with --checkpoint/autosave)",
+    )
+    pr.add_argument(
+        "--xla-trace", default="",
+        help="directory for a kernel-level XLA profiler trace of the replay "
+        "(view with TensorBoard/xprof)",
     )
     pr.add_argument("--voxel", action="store_true")
     pr.add_argument(
