@@ -41,6 +41,17 @@ def main():
         "--plane-landmarks", action="store_true",
         help="planar-patch landmark mode (joint pose+point+plane BA)",
     )
+    ap.add_argument(
+        "--ingest-window", type=int, default=1,
+        help="pool W keyframes per scan-ingest device program (offline "
+        "throughput mode; one solve per window)",
+    )
+    ap.add_argument(
+        "--depth", action="store_true",
+        help="u16 depth frames + on-device backprojection instead of XYZ "
+        "clouds (6x smaller host->device transfers — the binding constraint "
+        "through the remote tunnel)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -67,6 +78,8 @@ def main():
         solver_kw["linear_solver"] = args.solver
     if args.fixed_lag > 0:
         solver_kw["fixed_lag_window"] = args.fixed_lag
+    if args.ingest_window > 1:
+        solver_kw["ingest_window"] = args.ingest_window
     if solver_kw:
         cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     if args.plane_landmarks:
@@ -77,6 +90,8 @@ def main():
         seed=1, n_steps=args.steps, sensor_every=3, drift_noise=0.006,
         loops=max(args.steps / 240, 1.0), H=args.height, W=args.width,
     )
+    if args.depth:
+        log = synth_mod.clouds_to_depth(log)
 
     engine = SlamEngine(cfg)
     m = Metrics()
@@ -94,7 +109,7 @@ def main():
     # warmup compile: feed a few events first
     t0 = time.perf_counter()
     replay_mod.replay(log, engine)
-    if args.optimize_every > 1:
+    if args.optimize_every > 1 or args.ingest_window > 1:
         engine.finalize()
     wall = time.perf_counter() - t0
 

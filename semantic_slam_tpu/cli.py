@@ -122,6 +122,8 @@ def cmd_run(args) -> None:
         solver_kw["pcg_precond"] = args.precond
     if args.optimize_every > 1:
         solver_kw["optimize_every_n_ticks"] = args.optimize_every
+    if args.ingest_window > 1:
+        solver_kw["ingest_window"] = args.ingest_window
     if args.fixed_lag > 0:
         solver_kw["fixed_lag_window"] = args.fixed_lag
     if solver_kw:
@@ -167,7 +169,7 @@ def cmd_run(args) -> None:
         else:
             log = replay_mod.load_log(args.log)
             replay_mod.replay(log, engine)
-        if args.optimize_every > 1:
+        if args.optimize_every > 1 or args.ingest_window > 1:
             engine.finalize()
 
     os.makedirs(args.out, exist_ok=True)
@@ -460,6 +462,12 @@ def main(argv=None) -> None:
         "--optimize-every", type=int, default=1,
         help="run the LM solve every Nth tick (1 = reference every-tick); "
         "a finalize pass always runs at the end",
+    )
+    pr.add_argument(
+        "--ingest-window", type=int, default=1,
+        help="pool W keyframes and ingest them as ONE scan device program "
+        "(+ one solve per window) — offline-throughput mode; association "
+        "stays sequential inside the window. 1 = reference per-tick drain",
     )
     pr.add_argument(
         "--fixed-lag", type=int, default=0,

@@ -137,6 +137,15 @@ class SolverConfig:
     # ingest keyframes/landmarks; robot_pose keeps dead-reckoning off the last
     # optimized estimate until the next solve.
     optimize_every_n_ticks: int = 1
+    # Offline-throughput knob (DIVERGENCE): defer draining the keyframe
+    # queue until W keyframes are waiting, then ingest the whole window —
+    # contiguous detection-keyframe runs ride ONE lax.scan device program
+    # instead of one dispatch each (the tunnel round trip dominates a tick).
+    # Association stays exactly sequential inside the scan. One optimize per
+    # flush (same cadence as optimize_every_n_ticks=W). 1 = reference
+    # behavior (drain every tick). Engine.finalize() flushes a partial
+    # window at session end.
+    ingest_window: int = 1
     # Fixed-lag smoothing (DIVERGENCE — the reference re-optimizes the FULL
     # history forever): keep at most ~window active keyframes; once the count
     # reaches window+chunk, the oldest `chunk` keyframes are Schur-

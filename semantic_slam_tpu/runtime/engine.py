@@ -282,6 +282,109 @@ def _process_keyframe(*args, **kw):
     return graph, table, dets
 
 
+@partial(jax.jit, static_argnames=_PROC_STATICS)
+def _process_keyframes_window(
+    graph: gs.GraphState,
+    table: assoc_mod.LandmarkTable,
+    odoms,          # [B,7] stacked keyframe odometry (prefix-valid rows)
+    row_valid,      # [B] bool padding mask (power-of-two compile buckets)
+    prev_odom7,     # [7] odometry of the keyframe before the window
+    has_prev,       # scalar bool: was there any keyframe before the window
+    info6,
+    points,         # [B,H,W,3] xyz (or [B,H,W] u16 depth when depth_input)
+    cloud_valid,    # [B,H,W] bool ([B,1,1] dummy for depth)
+    cam_intr,
+    depth_scale,
+    boxes,          # [B,D,4]
+    class_ids,      # [B,D]
+    probs,          # [B,D]
+    robot_xyzrpy,   # [B,6] dead-reckoned pose snapshots at gating time
+    cam_angle,
+    num_point_seg,
+    norm_point_thres,
+    planar_area,
+    distance_thres,
+    cos_angular_thres,
+    use_maha,
+    maha_thres,
+    eq_thres,
+    land_noise,
+    use_plane_gate,
+    plane_cos_thres,
+    plane_offset_thres,
+    lm_info3,
+    **statics,
+):
+    """A contiguous RUN of detection-bearing keyframes in ONE device program.
+
+    Structured for the hardware, not as a loop over the per-tick pipeline:
+
+    1. node + odom-chain appends ride the existing masked batch ingester;
+    2. the FRONTEND (backprojection, normals, plane extraction) is
+       row-independent, so it runs ``vmap``-batched over the whole window —
+       B keyframes' worth of pixel work in flight at once (a naive scan of
+       the full pipeline serialized this and measured ~5x SLOWER end to end
+       on both backends);
+    3. only the genuinely sequential part — association + landmark ingest,
+       tiny [D,*]/[L,*] state — runs in a ``lax.scan``, preserving the
+       reference's semantics exactly: landmarks created by keyframe i are
+       matchable by keyframe i+1.
+
+    Padding rows (power-of-two compile buckets) repeat the last row's inputs
+    and are masked out of association, so every bucket compiles once."""
+    B = odoms.shape[0]
+    base = graph.num_poses
+    graph = _ingest_keyframes_batch(
+        graph, odoms, row_valid, prev_odom7, has_prev, info6
+    )
+    kf_idx = base + jnp.cumsum(row_valid.astype(jnp.int32)) - 1  # [B]
+
+    if statics.get("depth_input", False):
+        points, cloud_valid = jax.vmap(
+            lambda d: depth_mod.backproject_depth(d, cam_intr, depth_scale)
+        )(points)
+    seg_statics = dict(
+        samp_h=statics["samp_h"], samp_w=statics["samp_w"],
+        max_planes=statics["max_planes"],
+        num_hypotheses=statics["num_hypotheses"],
+        smoothing_size=statics["smoothing_size"],
+        strict_frames=statics["strict_frames"],
+        adaptive_normals=statics["adaptive_normals"],
+    )
+    dets_stack = jax.vmap(
+        lambda pts, cv, bx, ci, pr, rxy: seg_mod.segment_all(
+            pts, cv, bx, ci, pr, rxy, cam_angle, num_point_seg,
+            norm_point_thres, planar_area, distance_thres, cos_angular_thres,
+            **seg_statics,
+        )
+    )(points, cloud_valid, boxes, class_ids, probs, robot_xyzrpy)
+
+    def step(carry, xs):
+        g, t = carry
+        dets_row, rxy, rv, kidx = xs
+        t2, res = assoc_mod.associate(
+            t, dets_row, rxy, cam_angle, use_maha, maha_thres, eq_thres,
+            land_noise, strict_frames=statics["strict_frames"],
+            rtabmap_y_offset=statics["use_rtabmap_offset"],
+            use_plane_gate=use_plane_gate, plane_cos_thres=plane_cos_thres,
+            plane_offset_thres=plane_offset_thres,
+        )
+        # .astype(b.dtype): under x64, jnp.sum(int32) promotes the count
+        # scalars to int64 — the scan carry must keep the input dtypes
+        t = jax.tree.map(lambda a, b: jnp.where(rv, a, b).astype(b.dtype), t2, t)
+        g2 = _ingest_landmarks_impl(
+            g, res.valid & rv, res.lm_id, res.is_new, res.local_pose,
+            res.world_pose, kidx, lm_info3,
+        )
+        g = jax.tree.map(lambda a, b: a.astype(b.dtype), g2, g)
+        return (g, t), None
+
+    (graph, table), _ = jax.lax.scan(
+        step, (graph, table), (dets_stack, robot_xyzrpy, row_valid, kf_idx)
+    )
+    return graph, table, dets_stack
+
+
 def _optimize_tick_impl(
     graph: gs.GraphState,
     table: assoc_mod.LandmarkTable,
@@ -717,6 +820,7 @@ class SlamEngine:
 
         # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
         self._ticks_done = 0
+        self._flush_pending = False  # finalize() forcing a partial window
         # previous tick's final LM lambda (warm_start_lambda feed-back)
         self._last_lambda = 0.0
 
@@ -863,7 +967,13 @@ class SlamEngine:
     def run(self) -> bool:
         if not self.keyframe_queue:
             return False
-        n = min(len(self.keyframe_queue), self.cfg.capacity.max_keyframes_per_update)
+        w = self.cfg.solver.ingest_window
+        if w > 1 and not self._flush_pending and len(self.keyframe_queue) < w:
+            # offline-throughput mode: let keyframes pool so a whole window
+            # rides one scan program (finalize() flushes a partial window)
+            return False
+        cap = self.cfg.capacity.max_keyframes_per_update
+        n = min(len(self.keyframe_queue), max(cap, w))
         batch, self.keyframe_queue = self.keyframe_queue[:n], self.keyframe_queue[n:]
 
         self._ensure_capacity(batch)
@@ -954,27 +1064,47 @@ class SlamEngine:
                 self._n_odom += 1
             self.keyframes.append(kf)
         else:
+            def _is_det(k):
+                return (
+                    k.boxes is not None and k.cloud is not None and len(k.boxes) > 0
+                )
+
             i = 0
             while i < len(batch):
                 kf = batch[i]
-                if kf.boxes is not None and kf.cloud is not None and len(kf.boxes) > 0:
+                if _is_det(kf):
+                    # contiguous run of detection keyframes (uniform
+                    # cloud/depth input mode) -> ONE scan-window program
+                    depth_in = kf.depth_intr is not None
+                    j = i
+                    while (
+                        j < len(batch)
+                        and _is_det(batch[j])
+                        and (batch[j].depth_intr is not None) == depth_in
+                    ):
+                        j += 1
+                    det_run = batch[i:j]
                     has_prev = len(self.keyframes) > 0
-                    prev_odom = self.keyframes[-1].odom if has_prev else kf.odom
-                    self._process_keyframe_with_detections(kf, prev_odom, has_prev)
-                    kf.node_idx = self._n_poses + self._kf_base
-                    self._n_poses += 1
-                    if has_prev:
-                        self._n_odom += 1
-                    self.keyframes.append(kf)
-                    i += 1
+                    prev_odom = (
+                        self.keyframes[-1].odom if has_prev else det_run[0].odom
+                    )
+                    if len(det_run) == 1:
+                        self._process_keyframe_with_detections(
+                            det_run[0], prev_odom, has_prev
+                        )
+                    else:
+                        self._process_keyframe_window(det_run, prev_odom, has_prev)
+                    for b, r in enumerate(det_run):
+                        r.node_idx = self._n_poses + self._kf_base
+                        self._n_poses += 1
+                        if has_prev or b > 0:
+                            self._n_odom += 1
+                        self.keyframes.append(r)
+                    i = j
                     continue
                 # contiguous run of detection-less keyframes -> ONE program
                 j = i
-                while j < len(batch) and not (
-                    batch[j].boxes is not None
-                    and batch[j].cloud is not None
-                    and len(batch[j].boxes) > 0
-                ):
+                while j < len(batch) and not _is_det(batch[j]):
                     j += 1
                 run = batch[i:j]
                 has_prev = len(self.keyframes) > 0
@@ -1074,8 +1204,16 @@ class SlamEngine:
 
     def finalize(self) -> bool:
         """Force one optimize pass over the current graph — use at session end
-        when ``optimize_every_n_ticks > 1`` may have skipped the last tick(s).
+        when ``optimize_every_n_ticks > 1`` may have skipped the last tick(s)
+        or ``ingest_window > 1`` left a partial window pooled in the queue.
         No-op on an empty graph."""
+        if self.keyframe_queue:
+            self._flush_pending = True
+            try:
+                while self.keyframe_queue:
+                    self.run()
+            finally:
+                self._flush_pending = False
         if not self.keyframes:
             return False
         t0 = time.perf_counter()
@@ -1194,6 +1332,38 @@ class SlamEngine:
             self.graph, self.table, *args, **statics
         )
         self.last_detected_objects = dets  # observability (seg_obj_vec_)
+
+    def _process_keyframe_window(self, run: list, prev_odom, has_prev) -> None:
+        """Stack a contiguous detection-keyframe run into the scan-window
+        program — one dispatch for the whole run (see
+        ``_process_keyframes_window``). Bucketed to powers of two."""
+        n = len(run)
+        B = 2
+        while B < n:
+            B *= 2
+        per_kf = [self._kf_call_args(k, prev_odom, has_prev)[0] for k in run]
+        _, statics = self._kf_call_args(run[0], prev_odom, has_prev)
+
+        def stack(idx):
+            rows = [p[idx] for p in per_kf]
+            rows += [rows[-1]] * (B - n)
+            return np.stack(rows)
+
+        row_valid = np.zeros((B,), bool)
+        row_valid[:n] = True
+        shared = per_kf[0]
+        self.graph, self.table, dets_stack = _process_keyframes_window(
+            self.graph, self.table,
+            stack(0), row_valid,
+            np.asarray(prev_odom, self._npdt), has_prev, self._info6,
+            stack(4), stack(5), shared[6], shared[7],
+            stack(8), stack(9), stack(10), stack(11),
+            *shared[12:], **statics,
+        )
+        # observability: the last REAL row's detections (seg_obj_vec_)
+        self.last_detected_objects = jax.tree.map(
+            lambda a: a[n - 1], dets_stack
+        )
 
     def add_first_pose_and_landmark(self) -> None:
         """Synthetic seed (semantic_graph_slam.cpp:289-332): identity keyframe

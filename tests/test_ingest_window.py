@@ -1,0 +1,130 @@
+"""Scan-window keyframe ingestion (SolverConfig.ingest_window).
+
+Offline-throughput mode: the engine pools W keyframes and ingests each
+contiguous detection-keyframe run as ONE lax.scan device program
+(engine._process_keyframes_window), then optimizes once per flush. The
+association semantics stay exactly sequential inside the scan (landmarks
+created by keyframe i are matchable by keyframe i+1 — the reference's
+per-tick behavior), so after the session-end finalize the result matches
+the reference per-tick path.
+"""
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_e2e import e2e_config  # noqa: E402
+
+from semantic_slam_tpu.config import CapacityConfig  # noqa: E402
+from semantic_slam_tpu.io import replay as replay_mod  # noqa: E402
+from semantic_slam_tpu.io import synthetic as synth_mod  # noqa: E402
+from semantic_slam_tpu.runtime.engine import SlamEngine  # noqa: E402
+
+
+def _run(log, cfg, **solver_kw):
+    if solver_kw:
+        cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
+    eng = SlamEngine(cfg)
+    replay_mod.replay(log, eng)
+    eng.finalize()
+    return eng
+
+
+@pytest.fixture(scope="module")
+def log():
+    return synth_mod.make_synthetic_log(
+        seed=3, n_steps=240, sensor_every=5, drift_noise=0.008, loops=1.5
+    )
+
+
+@pytest.fixture(scope="module")
+def reference(log):
+    return _run(log, e2e_config())
+
+
+class TestIngestWindow:
+    def test_matches_per_tick_reference(self, log, reference):
+        eng = _run(log, e2e_config(), ingest_window=3)
+        assert len(eng.keyframes) == len(reference.keyframes)
+        assert int(eng.table.count) == int(reference.table.count)
+        assert int(eng.graph.num_edges()) == int(reference.graph.num_edges())
+        # same optimum after the final full-batch solve (cadence differs,
+        # the converged solution does not)
+        np.testing.assert_allclose(
+            eng.get_keyframe_poses(), reference.get_keyframe_poses(),
+            atol=5e-4,
+        )
+        # landmark ids == graph indices invariant survives the scan path
+        np.testing.assert_allclose(
+            np.asarray(eng.graph.landmarks[: int(eng.table.count)]),
+            np.asarray(reference.graph.landmarks[: int(reference.table.count)]),
+            atol=5e-3,
+        )
+
+    def test_large_window_matches_optimize_every(self, log):
+        """A big window defers pose correction like optimize_every_n_ticks
+        of the same cadence: identical graph topology/map size. Poses agree
+        only to centimeters — the optimize POINTS differ (every 8th tick vs
+        after every 8-keyframe flush), so the nonconvex solves settle in
+        slightly different optima."""
+        win = _run(log, e2e_config(), ingest_window=8)
+        skip = _run(log, e2e_config(), optimize_every_n_ticks=8)
+        assert len(win.keyframes) == len(skip.keyframes)
+        assert int(win.table.count) == int(skip.table.count)
+        assert int(win.graph.num_edges()) == int(skip.graph.num_edges())
+        np.testing.assert_allclose(
+            win.get_keyframe_poses(), skip.get_keyframe_poses(), atol=0.06
+        )
+
+    def test_fewer_device_flushes(self, log, reference):
+        eng = _run(log, e2e_config(), ingest_window=6)
+        # one stats entry per flush vs one per ingesting tick
+        assert len(eng.stats_history) < len(reference.stats_history)
+        assert len(eng.stats_history) <= -(-len(eng.keyframes) // 6) + 2
+
+    def test_partial_window_needs_finalize(self, log):
+        cfg = e2e_config().replace(
+            solver=dataclasses.replace(e2e_config().solver, ingest_window=64)
+        )
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        # the whole session is smaller than one window: nothing drained yet
+        assert len(eng.keyframes) == 0 and len(eng.keyframe_queue) > 0
+        eng.finalize()
+        assert len(eng.keyframe_queue) == 0
+        assert len(eng.keyframes) > 0
+        assert int(eng.table.count) > 0
+
+    def test_window_across_capacity_growth(self, log):
+        cfg = e2e_config().replace(
+            capacity=CapacityConfig(
+                max_keyframes=64, max_landmarks=16, max_odom_edges=64,
+                max_landmark_edges=256, max_detections_per_frame=4,
+                initial_keyframes=8, initial_odom_edges=8,
+                initial_landmarks=8, initial_landmark_edges=16,
+            )
+        )
+        eng = _run(log, cfg, ingest_window=5)
+        ref = _run(log, cfg)
+        assert len(eng.keyframes) == len(ref.keyframes)
+        np.testing.assert_allclose(
+            eng.get_keyframe_poses(), ref.get_keyframe_poses(), atol=5e-4
+        )
+
+    def test_depth_mode_window(self):
+        base = synth_mod.make_synthetic_log(
+            seed=5, n_steps=150, sensor_every=5, drift_noise=0.008,
+            H=120, W=160,
+        )
+        dlog = synth_mod.clouds_to_depth(base)
+        ref = _run(dlog, e2e_config())
+        eng = _run(dlog, e2e_config(), ingest_window=4)
+        assert len(eng.keyframes) == len(ref.keyframes)
+        assert int(eng.table.count) == int(ref.table.count)
+        np.testing.assert_allclose(
+            eng.get_keyframe_poses(), ref.get_keyframe_poses(), atol=5e-4
+        )
