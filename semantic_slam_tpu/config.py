@@ -138,13 +138,16 @@ class SolverConfig:
     # optimized estimate until the next solve.
     optimize_every_n_ticks: int = 1
     # Offline-throughput knob (DIVERGENCE): defer draining the keyframe
-    # queue until W keyframes are waiting, then ingest the whole window —
-    # contiguous detection-keyframe runs ride ONE lax.scan device program
-    # instead of one dispatch each (the tunnel round trip dominates a tick).
-    # Association stays exactly sequential inside the scan. One optimize per
-    # flush (same cadence as optimize_every_n_ticks=W). 1 = reference
-    # behavior (drain every tick). Engine.finalize() flushes a partial
-    # window at session end.
+    # queue until W keyframes are waiting, then ingest the whole window in
+    # ONE device program (vmapped frontend; association stays exactly
+    # sequential in a small scan) and optimize once per flush — W-1 fewer
+    # dispatches + one optimize per W. For dispatch-bound deployments
+    # (locally attached TPU). NOTE measured honestly on this rig's remote
+    # tunnel, where UPLOAD BANDWIDTH binds instead: ~parity with per-tick
+    # in depth mode (0.40 vs 0.40 kf/s same-session), ~2x slower with full
+    # 640x480 clouds (the stacked 29 MB/flush upload serializes). 1 =
+    # reference behavior (drain every tick). Engine.finalize() flushes a
+    # partial window at session end.
     ingest_window: int = 1
     # Fixed-lag smoothing (DIVERGENCE — the reference re-optimizes the FULL
     # history forever): keep at most ~window active keyframes; once the count
