@@ -115,6 +115,24 @@ class TestIngestWindow:
             eng.get_keyframe_poses(), ref.get_keyframe_poses(), atol=5e-4
         )
 
+    def test_plane_mode_window_defers(self, log):
+        """Planar-patch mode has no scan program (falls back to per-keyframe
+        dispatch inside the flush) but the window deferral + finalize still
+        apply. The right control is optimize_every_n_ticks of the same
+        cadence — the two defer pose correction identically, and the plane
+        BA's sensitivity to that cadence (vs per-tick) is a property of the
+        knob, not of the pooling mechanism (measured: both land 0.26 from
+        the per-tick run but 1e-5 from each other)."""
+        cfg = e2e_config().replace(use_plane_landmarks=True)
+        eng = _run(log, cfg, ingest_window=4)
+        ctl = _run(log, cfg, optimize_every_n_ticks=4)
+        assert len(eng.keyframes) == len(ctl.keyframes)
+        assert int(eng.table.count) == int(ctl.table.count)
+        assert len(eng.stats_history) < len(ctl.stats_history)
+        np.testing.assert_allclose(
+            eng.get_keyframe_poses(), ctl.get_keyframe_poses(), atol=1e-3
+        )
+
     def test_depth_mode_window(self):
         base = synth_mod.make_synthetic_log(
             seed=5, n_steps=150, sensor_every=5, drift_noise=0.008,
