@@ -288,6 +288,7 @@ def _process_keyframes_window(
     table: assoc_mod.LandmarkTable,
     odoms,          # [B,7] stacked keyframe odometry (prefix-valid rows)
     row_valid,      # [B] bool padding mask (power-of-two compile buckets)
+    last_row,       # i32: index of the last REAL row (traced, no recompiles)
     prev_odom7,     # [7] odometry of the keyframe before the window
     has_prev,       # scalar bool: was there any keyframe before the window
     info6,
@@ -382,7 +383,11 @@ def _process_keyframes_window(
     (graph, table), _ = jax.lax.scan(
         step, (graph, table), (dets_stack, robot_xyzrpy, row_valid, kf_idx)
     )
-    return graph, table, dets_stack
+    # last REAL row's detections, selected in-program: an eager host-side
+    # a[n-1] per pytree leaf would cost one tunnel dispatch per leaf per
+    # flush plus a remote compile per distinct n (CLAUDE.md hot-path rules)
+    dets_last = jax.tree.map(lambda a: a[last_row], dets_stack)
+    return graph, table, dets_last
 
 
 def _optimize_tick_impl(
@@ -942,6 +947,12 @@ class SlamEngine:
         )
         self.vio_pose = odom7
         self.prev_odom = odom7
+        # the first keyframe EXISTS from enqueue time: dead-reckoning must
+        # start now, not at the first run()/flush — with ingest_window > 1
+        # keyframes pool unprocessed and the gap would permanently drop the
+        # robot_pose increments of the whole first window (prev_odom keeps
+        # advancing), freezing association's world transform at identity
+        self.first_key_added = True
         self._record_traj(stamp)
 
     def _record_traj(self, stamp: float) -> None:
@@ -1073,14 +1084,28 @@ class SlamEngine:
             while i < len(batch):
                 kf = batch[i]
                 if _is_det(kf):
-                    # contiguous run of detection keyframes (uniform
-                    # cloud/depth input mode) -> ONE scan-window program
-                    depth_in = kf.depth_intr is not None
+                    # contiguous run of detection keyframes -> ONE scan-window
+                    # program. The window shares one sensor configuration, so
+                    # the run breaks on ANY sensor change: cloud/depth mode,
+                    # frame resolution, per-frame intrinsics or depth scale
+                    # (set_depth_image accepts per-message camera info)
+                    def _same_sensor(a, b):
+                        if (a.depth_intr is None) != (b.depth_intr is None):
+                            return False
+                        if np.shape(a.cloud[0]) != np.shape(b.cloud[0]):
+                            return False
+                        if a.depth_intr is not None:
+                            return (
+                                np.array_equal(a.depth_intr, b.depth_intr)
+                                and a.depth_scale == b.depth_scale
+                            )
+                        return True
+
                     j = i
                     while (
                         j < len(batch)
                         and _is_det(batch[j])
-                        and (batch[j].depth_intr is not None) == depth_in
+                        and _same_sensor(kf, batch[j])
                     ):
                         j += 1
                     det_run = batch[i:j]
@@ -1341,8 +1366,10 @@ class SlamEngine:
         B = 2
         while B < n:
             B *= 2
-        per_kf = [self._kf_call_args(k, prev_odom, has_prev)[0] for k in run]
-        _, statics = self._kf_call_args(run[0], prev_odom, has_prev)
+        args0, statics = self._kf_call_args(run[0], prev_odom, has_prev)
+        per_kf = [args0] + [
+            self._kf_call_args(k, prev_odom, has_prev)[0] for k in run[1:]
+        ]
 
         def stack(idx):
             rows = [p[idx] for p in per_kf]
@@ -1351,19 +1378,15 @@ class SlamEngine:
 
         row_valid = np.zeros((B,), bool)
         row_valid[:n] = True
-        shared = per_kf[0]
-        self.graph, self.table, dets_stack = _process_keyframes_window(
+        self.graph, self.table, dets = _process_keyframes_window(
             self.graph, self.table,
-            stack(0), row_valid,
+            stack(0), row_valid, np.int32(n - 1),
             np.asarray(prev_odom, self._npdt), has_prev, self._info6,
-            stack(4), stack(5), shared[6], shared[7],
+            stack(4), stack(5), args0[6], args0[7],
             stack(8), stack(9), stack(10), stack(11),
-            *shared[12:], **statics,
+            *args0[12:], **statics,
         )
-        # observability: the last REAL row's detections (seg_obj_vec_)
-        self.last_detected_objects = jax.tree.map(
-            lambda a: a[n - 1], dets_stack
-        )
+        self.last_detected_objects = dets  # observability (seg_obj_vec_)
 
     def add_first_pose_and_landmark(self) -> None:
         """Synthetic seed (semantic_graph_slam.cpp:289-332): identity keyframe

@@ -65,19 +65,19 @@ class TestIngestWindow:
             atol=5e-3,
         )
 
-    def test_large_window_matches_optimize_every(self, log):
-        """A big window defers pose correction like optimize_every_n_ticks
-        of the same cadence: identical graph topology/map size. Poses agree
-        only to centimeters — the optimize POINTS differ (every 8th tick vs
-        after every 8-keyframe flush), so the nonconvex solves settle in
-        slightly different optima."""
+    def test_large_window_matches_reference(self, log, reference):
+        """Even a big window reproduces the per-tick reference map and
+        trajectory: dead-reckoned robot_pose snapshots keep association's
+        world transform honest while keyframes pool (a frozen-pose
+        regression here once spawned duplicate landmarks — the very bug
+        this guards)."""
         win = _run(log, e2e_config(), ingest_window=8)
-        skip = _run(log, e2e_config(), optimize_every_n_ticks=8)
-        assert len(win.keyframes) == len(skip.keyframes)
-        assert int(win.table.count) == int(skip.table.count)
-        assert int(win.graph.num_edges()) == int(skip.graph.num_edges())
+        assert len(win.keyframes) == len(reference.keyframes)
+        assert int(win.table.count) == int(reference.table.count)
+        assert int(win.graph.num_edges()) == int(reference.graph.num_edges())
         np.testing.assert_allclose(
-            win.get_keyframe_poses(), skip.get_keyframe_poses(), atol=0.06
+            win.get_keyframe_poses(), reference.get_keyframe_poses(),
+            atol=5e-4,
         )
 
     def test_fewer_device_flushes(self, log, reference):
