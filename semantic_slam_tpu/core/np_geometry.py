@@ -216,6 +216,26 @@ def pose_cam_to_robot_odom(pose7):
     return np.concatenate([pose7[..., :3] @ M.T, rpy_to_quat(rpy @ M.T)], axis=-1)
 
 
+def r2ypr_deg(R):
+    """Rotation matrix -> [yaw, pitch, roll] in degrees, ``tools.h:299-314``."""
+    R = np.asarray(R, np.float64)
+    n, o, a = R[..., :, 0], R[..., :, 1], R[..., :, 2]
+    y = np.arctan2(n[..., 1], n[..., 0])
+    p = np.arctan2(-n[..., 2], n[..., 0] * np.cos(y) + n[..., 1] * np.sin(y))
+    r = np.arctan2(
+        a[..., 0] * np.sin(y) - a[..., 1] * np.cos(y),
+        -o[..., 0] * np.sin(y) + o[..., 1] * np.cos(y),
+    )
+    return np.stack([y, p, r], axis=-1) / np.pi * 180.0
+
+
+def ypr2r_deg(ypr):
+    """[yaw, pitch, roll] degrees -> rotation matrix, ``tools.h:316-335``."""
+    ypr = np.asarray(ypr, np.float64) / 180.0 * np.pi
+    y, p, r = ypr[..., 0], ypr[..., 1], ypr[..., 2]
+    return rpy_to_rotmat(np.stack([r, p, y], axis=-1))
+
+
 def rot_pose_z(pose7, first_yaw):
     a = REF_HALF_PI_SHORT
     c, s = np.cos(a), np.sin(a)
