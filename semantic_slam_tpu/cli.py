@@ -467,7 +467,9 @@ def main(argv=None) -> None:
         "--ingest-window", type=int, default=1,
         help="pool W keyframes and ingest them as ONE scan device program "
         "(+ one solve per window) — offline-throughput mode; association "
-        "stays sequential inside the window. 1 = reference per-tick drain",
+        "stays sequential inside the window. 1 = reference per-tick drain. "
+        "W larger than the per-tick ingest cap wins over it (whole window "
+        "flushes in one program)",
     )
     pr.add_argument(
         "--fixed-lag", type=int, default=0,

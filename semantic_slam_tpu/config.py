@@ -147,14 +147,18 @@ class SolverConfig:
     # in depth mode (0.40 vs 0.40 kf/s same-session), ~2x slower with full
     # 640x480 clouds (the stacked 29 MB/flush upload serializes). 1 =
     # reference behavior (drain every tick). Engine.finalize() flushes a
-    # partial window at session end.
+    # partial window at session end. When W exceeds
+    # capacity.max_keyframes_per_update the WINDOW wins: a flush ingests all
+    # W pooled keyframes in one program (the per-update cap is a per-tick
+    # drain limit, meaningless when draining is deferred by design).
     ingest_window: int = 1
     # Fixed-lag smoothing (DIVERGENCE — the reference re-optimizes the FULL
     # history forever): keep at most ~window active keyframes; once the count
     # reaches window+chunk, the oldest `chunk` keyframes are Schur-
     # marginalized into a prior (solver/fixed_lag.py) and the graph compacts
     # in place. 0 = off (reference behavior). Landmarks are never removed.
-    # Currently dense-solver, point-landmark mode only.
+    # Composes with both solver paths (dense Schur / PCG), plane landmarks,
+    # and the sharded multi-chip step (see __graft_entry__.dryrun_multichip).
     fixed_lag_window: int = 0
     # marginalization chunk (0 = auto: max(8, window // 4)); a fixed chunk
     # keeps marginalization a single compiled program per capacity bucket

@@ -394,7 +394,10 @@ def _cloud_event(msg: dict) -> CloudEvent | None:
     step = int(msg["point_step"])
     offsets = {f["name"]: (int(f["offset"]), int(f["datatype"])) for f in msg["fields"]}
     raw = np.asarray(msg["data"], np.uint8)
-    grid = raw[: h * w * step].reshape(h, w, step)
+    # honor row_step: recorded bags may pad rows beyond width*point_step, and
+    # a flat h*w*step reshape would silently shear the XYZ grid
+    row_step = int(msg.get("row_step", 0)) or w * step
+    grid = raw[: h * row_step].reshape(h, row_step)[:, : w * step].reshape(h, w, step)
     xyz = np.empty((h, w, 3), np.float32)
     for i, name in enumerate(("x", "y", "z")):
         off, dtype_id = offsets[name]

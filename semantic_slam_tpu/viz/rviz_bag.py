@@ -137,7 +137,11 @@ def write_viz_bag(path: str, engine, grid=None, compression: str = "none",
     kf_poses = np.asarray(engine.get_keyframe_poses(), np.float64)
     vio = [(float(t), np.asarray(p, np.float64)) for t, p in engine.vio_traj]
 
-    offset = epoch_offset(kf_stamps[0] if kf_stamps else 0.0)
+    # vio_traj can start before the first keyframe (dead-reckoned samples
+    # between gate acceptances) — the epoch base must cover the earliest
+    # stamp of EITHER stream or negative stamps would break _pack_time
+    t_candidates = ([kf_stamps[0]] if kf_stamps else []) + ([vio[0][0]] if vio else [])
+    offset = epoch_offset(min(t_candidates) if t_candidates else 0.0)
 
     counts: dict[str, int] = {}
     with BagWriter(path, compression) as bag:

@@ -88,16 +88,23 @@ def _vicon_state(t: float, t3, qxyzw, has_pose=True) -> bytes:
     )
 
 
-def _pointcloud2(t: float, xyz: np.ndarray) -> bytes:
-    """Organized float32 cloud with a 16-byte point step (x,y,z,rgb-pad)."""
+def _pointcloud2(t: float, xyz: np.ndarray, row_pad: int = 0) -> bytes:
+    """Organized float32 cloud with a 16-byte point step (x,y,z,rgb-pad).
+
+    ``row_pad`` appends that many bytes of padding per row (row_step >
+    width*point_step), which real recorded bags can contain.
+    """
     h, w, _ = xyz.shape
     fields = b""
     for i, name in enumerate(("x", "y", "z")):
         fields += _string(name) + struct.pack("<IBI", 4 * i, 7, 1)
     n_fields = struct.pack("<I", 3)
     step = 16
-    grid = np.zeros((h, w, step), np.uint8)
-    grid[:, :, :12] = xyz.astype(np.float32).view(np.uint8).reshape(h, w, 12)
+    row_step = step * w + row_pad
+    grid = np.full((h, row_step), 0xAB, np.uint8)  # poison the padding
+    grid[:, : step * w] = 0
+    pts = grid[:, : step * w].reshape(h, w, step)
+    pts[:, :, :12] = xyz.astype(np.float32).view(np.uint8).reshape(h, w, 12)
     data = grid.tobytes()
     return (
         _header_msg(0, t, "camera")
@@ -105,7 +112,7 @@ def _pointcloud2(t: float, xyz: np.ndarray) -> bytes:
         + n_fields
         + fields
         + struct.pack("<?", False)
-        + struct.pack("<II", step, step * w)
+        + struct.pack("<II", step, row_step)
         + struct.pack("<I", len(data))
         + data
         + struct.pack("<?", False)
@@ -422,6 +429,18 @@ class TestReadBag:
         assert not cl.valid[1, 1] and cl.valid[0, 0]
         assert cl.points[0, 1, 2] == pytest.approx(5.0)
         assert cl.points[3, 2, 0] == pytest.approx(33.0)
+
+    def test_cloud_grid_with_row_padding(self, tmp_path):
+        """row_step > width*point_step must not shear the decoded XYZ grid."""
+        xyz = np.arange(4 * 3 * 3, dtype=np.float32).reshape(4, 3, 3)
+        w = BagWriter()
+        w.connection("/depth_registered/points", "sensor_msgs/PointCloud2", CLOUD_DEF)
+        w.message("/depth_registered/points", 30.0, _pointcloud2(30.0, xyz, row_pad=24))
+        p = tmp_path / "padded.bag"
+        p.write_bytes(w.tobytes())
+        cl = rb.read_bag(str(p)).clouds[0]
+        np.testing.assert_allclose(cl.points, xyz)
+        assert cl.valid.all()
 
     def test_detections(self, bag_path):
         log = rb.read_bag(bag_path)

@@ -173,3 +173,35 @@ class TestVoxelMarkers:
         # the marker survives serialization through the real encoder
         data = rw.serialize_message("visualization_msgs/MarkerArray", arr)
         assert len(data) > 100
+
+
+def test_viz_bag_vio_predating_first_keyframe(session, tmp_path):
+    """Epoch base must cover vio_traj samples earlier than the first keyframe.
+
+    With kf_stamps[0] >= 1 (epoch_offset 0) and a dead-reckoned VIO sample at
+    a negative stamp, the writer previously raised inside _pack_time.
+    """
+    import dataclasses
+
+    class Wrap:
+        def __init__(self, e):
+            self._e = e
+
+        def __getattr__(self, k):
+            return getattr(self._e, k)
+
+    w = Wrap(session)
+    # shift keyframes past t=1 so epoch_offset(kf0) would be 0, then add one
+    # vio sample BEFORE time zero
+    w.keyframes = [
+        dataclasses.replace(k, stamp=k.stamp + 5.0) for k in session.keyframes
+    ]
+    w.vio_traj = [(-0.5, session.vio_traj[0][1])] + [
+        (t + 5.0, p) for t, p in session.vio_traj
+    ]
+    w.robot_traj = [(t + 5.0, p) for t, p in session.robot_traj]
+    path = str(tmp_path / "neg_vio.bag")
+    counts = write_viz_bag(path, w)
+    assert counts["/corres_vio_path"] >= 1
+    stamps = [t for _, _, t, _ in read_messages(path)]
+    assert min(stamps) >= 0.0
