@@ -210,10 +210,11 @@ def cmd_run(args) -> None:
         from semantic_slam_tpu.frontend import depth as depth_mod
 
         backproject = jax.jit(depth_mod.backproject_depth)
-        grid = vox.make_grid()
-        insert = (
-            vox.insert_keyframe_cloud_carving if args.carve
-            else vox.insert_keyframe_cloud
+        # chunked map: chunks materialize wherever the trajectory goes, so
+        # KITTI-class sessions never silently fall off a fixed extent
+        grid = vox.ChunkedVoxelMap(
+            carve=args.carve, strict_frames=cfg.strict_reference_frames,
+            dtype=engine.dtype,
         )
         for kf in engine.keyframes:
             if kf.cloud is None or kf.node_idx is None:
@@ -231,10 +232,9 @@ def cmd_run(args) -> None:
             if est7 is None:
                 continue
             xyzrpy = geo.pose_to_xyzrpy(jnp.asarray(est7, engine.dtype))
-            grid = insert(
-                grid, pts, valid, xyzrpy,
+            grid.insert_keyframe_cloud(
+                pts, valid, xyzrpy,
                 jnp.asarray(cfg.camera_angle_rad, engine.dtype),
-                strict_frames=cfg.strict_reference_frames,
             )
 
     from semantic_slam_tpu.viz.markers import export_session

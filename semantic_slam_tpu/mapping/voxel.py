@@ -13,6 +13,11 @@ points spaced at most one voxel apart — a dense [N,S,3] tensor scattered in
 one shot. Choose ``samples >= max_range / resolution`` and the sample chain
 crosses every voxel the exact DDA would (up to corner-clipping ties), with
 zero data-dependent control flow.
+
+Unbounded scenes (KITTI-class trajectories) use :class:`ChunkedVoxelMap`:
+the world is tiled into fixed-shape chunks materialized on first touch, all
+sharing one compiled insert program — octomap's growing octree re-imagined
+as static shapes + masking.
 """
 
 from __future__ import annotations
@@ -154,11 +159,140 @@ def occupied_mask_probabilistic(grid: VoxelGrid, thres: float = 0.85) -> jax.Arr
     return occupancy_log_odds(grid) >= thres
 
 
-def occupied_centers(grid: VoxelGrid, min_hits: int = 2):
-    """Host-side extraction of occupied voxel centers [M,3] (viz/export)."""
+def occupied_centers(grid, min_hits: int = 2):
+    """Host-side extraction of occupied voxel centers [M,3] (viz/export).
+
+    Accepts a single :class:`VoxelGrid` or a :class:`ChunkedVoxelMap`."""
     import numpy as np
 
+    if isinstance(grid, ChunkedVoxelMap):
+        return grid.occupied_centers(min_hits)
     mask = np.asarray(occupied_mask(grid, min_hits))
     idx = np.argwhere(mask)
     res = float(grid.resolution)
     return (idx + 0.5) * res + np.asarray(grid.origin)
+
+
+# ---------------------------------------------------------------------------
+# unbounded scenes: chunked grids
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("strict_frames",))
+def _world_points_aabb(
+    points_cam: jax.Array,
+    cloud_valid: jax.Array,
+    robot_xyzrpy: jax.Array,
+    cam_angle: jax.Array,
+    strict_frames: bool = True,
+):
+    """Transform a cam cloud to world once; return points + valid + AABB.
+
+    The AABB (over valid points + the sensor origin, so carving rays stay
+    inside) is the ONLY thing fetched to the host — 6 floats + a count —
+    to decide which chunks the scatter must visit."""
+    T = frames.t_cam_world(robot_xyzrpy, cam_angle, strict=strict_frames)
+    pts = points_cam.reshape(-1, 3)
+    w = jnp.einsum("ij,nj->ni", T[:3, :3], pts) + robot_xyzrpy[:3][None, :]
+    v = cloud_valid.reshape(-1)
+    big = jnp.asarray(jnp.finfo(w.dtype).max, w.dtype)
+    wv = jnp.where(v[:, None], w, big)
+    lo = jnp.minimum(jnp.min(wv, axis=0), robot_xyzrpy[:3])
+    wv = jnp.where(v[:, None], w, -big)
+    hi = jnp.maximum(jnp.max(wv, axis=0), robot_xyzrpy[:3])
+    return w, v, lo, hi, jnp.sum(v)
+
+
+class ChunkedVoxelMap:
+    """Unbounded occupancy map as a host dict of fixed-shape device chunks.
+
+    A single dense :class:`VoxelGrid` has a fixed extent (the round-1 default
+    silently dropped everything outside 12.8 x 12.8 x 3.2 m — wrong for
+    KITTI-class outdoor sessions). Here the world is tiled into fixed-size
+    chunks materialized on first touch; every chunk shares ONE compiled
+    insert program (identical shapes, origin is a traced argument), so chunk
+    count never causes recompilation. Out-of-chunk points are masked by the
+    insert's own bounds check. This is the TPU analog of octomap's growing
+    octree: static shapes + masking instead of pointer trees.
+    """
+
+    def __init__(
+        self,
+        chunk_dims: tuple[int, int, int] = (128, 128, 64),
+        resolution: float = 0.05,
+        carve: bool = False,
+        samples: int = 128,
+        strict_frames: bool = True,
+        dtype=jnp.float32,
+        max_chunks_per_insert: int = 64,
+    ):
+        self.chunk_dims = tuple(chunk_dims)
+        self.resolution = float(resolution)
+        self.extent = tuple(d * self.resolution for d in self.chunk_dims)
+        self.carve = carve
+        self.samples = int(samples)
+        self.strict_frames = strict_frames
+        self.dtype = dtype
+        self.max_chunks_per_insert = int(max_chunks_per_insert)
+        self.chunks: dict[tuple[int, int, int], VoxelGrid] = {}
+
+    def _chunk_range(self, lo, hi):
+        import numpy as np
+
+        lo_c = np.floor(np.asarray(lo, np.float64) / self.extent).astype(int)
+        hi_c = np.floor(np.asarray(hi, np.float64) / self.extent).astype(int)
+        return lo_c, hi_c
+
+    def _grid_for(self, cc: tuple[int, int, int]) -> VoxelGrid:
+        g = self.chunks.get(cc)
+        if g is None:
+            origin = tuple(cc[i] * self.extent[i] for i in range(3))
+            g = make_grid(self.chunk_dims, origin, self.resolution, self.dtype)
+        return g
+
+    def insert_keyframe_cloud(
+        self,
+        points_cam: jax.Array,
+        cloud_valid: jax.Array,
+        robot_xyzrpy: jax.Array,
+        cam_angle: jax.Array,
+    ) -> None:
+        w, v, lo, hi, n_valid = _world_points_aabb(
+            points_cam, cloud_valid, robot_xyzrpy, cam_angle,
+            strict_frames=self.strict_frames,
+        )
+        import numpy as np
+
+        if int(n_valid) == 0:
+            return
+        lo_c, hi_c = self._chunk_range(np.asarray(lo), np.asarray(hi))
+        n_boxes = int(np.prod(hi_c - lo_c + 1))
+        if n_boxes > self.max_chunks_per_insert:
+            raise ValueError(
+                f"cloud AABB spans {n_boxes} chunks (> {self.max_chunks_per_insert}); "
+                "likely corrupt points — raise max_chunks_per_insert if intended"
+            )
+        origin_w = robot_xyzrpy[:3]
+        for cx in range(lo_c[0], hi_c[0] + 1):
+            for cy in range(lo_c[1], hi_c[1] + 1):
+                for cz in range(lo_c[2], hi_c[2] + 1):
+                    cc = (cx, cy, cz)
+                    g = self._grid_for(cc)
+                    g = insert_world_points(g, w, v)
+                    if self.carve:
+                        g = carve_free_space(g, origin_w, w, v, samples=self.samples)
+                    self.chunks[cc] = g
+
+    def occupied_centers(self, min_hits: int = 2):
+        import numpy as np
+
+        parts = [occupied_centers(g, min_hits) for g in self.chunks.values()]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.zeros((0, 3))
+        return np.concatenate(parts, axis=0)
+
+    def total_hits(self) -> int:
+        import numpy as np
+
+        return int(sum(int(np.asarray(jnp.sum(g.hits))) for g in self.chunks.values()))
