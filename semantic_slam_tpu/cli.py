@@ -241,7 +241,7 @@ def cmd_run(args) -> None:
 
     voxel_centers = export_session(args.out, engine, grid)
 
-    if args.viz_bag:
+    if args.viz_bag or args.viz_bag_detections:
         # the reference's live publisher surface, replayable in stock rviz
         from semantic_slam_tpu.viz.rviz_bag import write_viz_bag
 
@@ -249,6 +249,7 @@ def cmd_run(args) -> None:
             os.path.join(args.out, "viz.bag"), engine, grid,
             path_stride=max(1, len(engine.keyframes) // 64),
             voxel_centers=voxel_centers,
+            detections=args.viz_bag_detections,
         )
 
     # --- in-process evaluation -------------------------------------------
@@ -426,6 +427,13 @@ def main(argv=None) -> None:
         help="also write <out>/viz.bag: the reference's publisher surface "
         "(paths, PoseArray, landmark MarkerArray, map->odom /tf, occupancy "
         "CUBE_LIST) for rosbag play + stock rviz",
+    )
+    pr.add_argument(
+        "--viz-bag-detections", action="store_true",
+        help="include the per-frame /detected_landmarks MarkerArray stream "
+        "in viz.bag (publishDetectedLandmarks); detections are recomputed "
+        "post-hoc from stored clouds — one device program per detection "
+        "keyframe here, zero cost on the live path (implies --viz-bag)",
     )
     pr.add_argument("--compute-ate", action="store_true")
     pr.add_argument("--cpu", action="store_true", help="force the CPU backend")

@@ -282,6 +282,34 @@ def _process_keyframe(*args, **kw):
     return graph, table, dets
 
 
+@partial(jax.jit, static_argnames=(
+    "samp_h", "samp_w", "max_planes", "num_hypotheses", "smoothing_size",
+    "strict_frames", "depth_input", "adaptive_normals",
+))
+def _segment_only(
+    points, cloud_valid, cam_intr, depth_scale, boxes, class_ids, probs,
+    robot_xyzrpy, cam_angle, num_point_seg, norm_point_thres, planar_area,
+    distance_thres, cos_angular_thres, *, samp_h, samp_w, max_planes,
+    num_hypotheses, smoothing_size, strict_frames, depth_input=False,
+    adaptive_normals=False,
+):
+    """Frontend only — post-hoc recomputation of one keyframe's detections
+    (viz/debug); shares nothing with the hot tick programs."""
+    if depth_input:
+        points, cloud_valid = depth_mod.backproject_depth(
+            points, cam_intr, depth_scale
+        )
+    return seg_mod.segment_all(
+        points, cloud_valid, boxes, class_ids, probs, robot_xyzrpy, cam_angle,
+        num_point_seg=num_point_seg, norm_point_thres=norm_point_thres,
+        planar_area=planar_area, distance_thres=distance_thres,
+        cos_angular_thres=cos_angular_thres, samp_h=samp_h, samp_w=samp_w,
+        max_planes=max_planes, num_hypotheses=num_hypotheses,
+        smoothing_size=smoothing_size, strict_frames=strict_frames,
+        adaptive_normals=adaptive_normals,
+    )
+
+
 @partial(jax.jit, static_argnames=_PROC_STATICS)
 def _process_keyframes_window(
     graph: gs.GraphState,
@@ -1350,6 +1378,32 @@ class SlamEngine:
             adaptive_normals=seg.adaptive_normals,
         )
         return args, statics
+
+    def segment_keyframe(self, kf: KeyframeMeta) -> dict | None:
+        """Re-run the frontend for one stored keyframe (post-hoc viz/debug).
+
+        Reproduces the detections as they were computed at processing time
+        (the ``robot_pose`` snapshot is stored on the keyframe), without any
+        hot-path cost: the reference's per-frame ``publishDetectedLandmarks``
+        stream (``semantic_graph_slam_ros.cpp:305-347``) is regenerated from
+        the kept clouds instead of being fetched per tick. Returns None for
+        detection-less keyframes.
+        """
+        if kf.boxes is None or kf.cloud is None or len(kf.boxes) == 0:
+            return None
+        args, statics = self._kf_call_args(kf, kf.odom, False)
+        # args[4:18] = the segmentation slice of the keyframe program args
+        # (points .. cos_angular_thres) — see _kf_call_args ordering
+        seg_statics = {
+            k: v for k, v in statics.items() if k != "use_rtabmap_offset"
+        }
+        dets = _segment_only(*args[4:18], **seg_statics)
+        return {
+            "valid": np.asarray(dets.valid),
+            "class_id": np.asarray(dets.class_id),
+            "plane_type": np.asarray(dets.plane_type),
+            "world_pose": np.asarray(dets.world_pose),
+        }
 
     def _process_keyframe_with_detections(self, kf: KeyframeMeta, prev_odom, has_prev) -> None:
         args, statics = self._kf_call_args(kf, prev_odom, has_prev)

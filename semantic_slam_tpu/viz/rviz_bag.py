@@ -84,6 +84,30 @@ def landmark_markers(t: float, landmarks: dict) -> dict:
     return {"markers": markers}
 
 
+def detected_markers(t: float, dets: dict) -> dict:
+    """Per-frame detected objects — publishDetectedLandmarks semantics
+    (semantic_graph_slam_ros.cpp:305-347): plain WHITE cubes at the
+    detections' world poses, thin slab by h/v (0.3x0.3x0.01 horizontal,
+    0.01x0.3x0.3 vertical)."""
+    markers = []
+    mid = 0
+    for i in range(len(dets["valid"])):
+        if not dets["valid"][i]:
+            continue
+        pose7 = np.concatenate([
+            np.asarray(dets["world_pose"][i], np.float64), [1.0, 0.0, 0.0, 0.0]
+        ])
+        hv = int(dets["plane_type"][i])
+        markers.append(_marker(
+            t, mid, "my_namespace", 1,  # CUBE, reference ns (:316)
+            pose7,
+            (0.3, 0.3, 0.01) if hv == 0 else (0.01, 0.3, 0.3),
+            (1.0, 1.0, 1.0),
+        ))
+        mid += 1
+    return {"markers": markers}
+
+
 def voxel_markers(t: float, centers: np.ndarray, resolution: float) -> dict:
     """Occupancy voxel map as ONE CUBE_LIST marker (the rviz-friendly
     replacement for the external octomap_server's output)."""
@@ -123,7 +147,8 @@ def _tf_msg(t: float, seq: int, map2odom7) -> dict:
 
 
 def write_viz_bag(path: str, engine, grid=None, compression: str = "none",
-                  path_stride: int = 1, voxel_centers=None) -> dict[str, int]:
+                  path_stride: int = 1, voxel_centers=None,
+                  detections: bool = False) -> dict[str, int]:
     """Serialize a finished ``SlamEngine`` session's outputs as a bag.
 
     ``path_stride`` thins the progressive Path/PoseArray re-publishes (the
@@ -131,7 +156,12 @@ def write_viz_bag(path: str, engine, grid=None, compression: str = "none",
     long sessions can set a stride > 1); the final full path is always
     written. ``voxel_centers`` short-circuits the occupancy extraction when
     the caller already computed ``occupied_centers(grid)`` (cmd_run does,
-    for occupancy.ply). Returns {topic: message_count}.
+    for occupancy.ply). ``detections=True`` completes the reference's
+    13-publisher surface with the per-frame ``/detected_landmarks`` stream —
+    recomputed post-hoc from stored clouds via ``engine.segment_keyframe``
+    (one device program + fetch per detection keyframe HERE, zero cost on
+    the live path, preserving the one-fetch-per-tick invariant).
+    Returns {topic: message_count}.
     """
     kf_stamps = [float(k.stamp) for k in engine.keyframes]
     kf_poses = np.asarray(engine.get_keyframe_poses(), np.float64)
@@ -172,6 +202,12 @@ def write_viz_bag(path: str, engine, grid=None, compression: str = "none",
                    npg.pose_mul(kf_poses[i], npg.pose_inv(
                        np.asarray(engine.keyframes[i].odom, np.float64))))
             emit("/tf", t, "tf2_msgs/TFMessage", _tf_msg(ts, i, m2o))
+            if detections:
+                d = engine.segment_keyframe(engine.keyframes[i])
+                if d is not None and d["valid"].any():
+                    emit("/detected_landmarks", t,
+                         "visualization_msgs/MarkerArray",
+                         detected_markers(ts, d))
 
         if vio:
             t_end = vio[-1][0]

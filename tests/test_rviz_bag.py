@@ -205,3 +205,42 @@ def test_viz_bag_vio_predating_first_keyframe(session, tmp_path):
     assert counts["/corres_vio_path"] >= 1
     stamps = [t for _, _, t, _ in read_messages(path)]
     assert min(stamps) >= 0.0
+
+
+def test_detected_landmarks_stream(session, tmp_path):
+    """Opt-in per-frame /detected_landmarks completes the reference's
+    13-publisher surface (publishDetectedLandmarks): white h/v cubes at the
+    detections' world poses, recomputed post-hoc per keyframe."""
+    path = str(tmp_path / "det.bag")
+    counts = write_viz_bag(path, session, detections=True)
+    assert counts.get("/detected_landmarks", 0) >= 1
+    det_kfs = [k for k in session.keyframes
+               if k.boxes is not None and len(k.boxes) > 0]
+    assert counts["/detected_landmarks"] <= len(det_kfs)
+    seen = 0
+    for topic, msg_type, t, msg in read_messages(path):
+        if topic != "/detected_landmarks":
+            continue
+        assert msg_type == "visualization_msgs/MarkerArray"
+        for m in msg["markers"]:
+            assert m["ns"] == "my_namespace"  # reference :316
+            assert m["type"] == 1  # CUBE
+            c = m["color"]
+            assert (c["r"], c["g"], c["b"], c["a"]) == (1.0, 1.0, 1.0, 1.0)
+            s = (m["scale"]["x"], m["scale"]["y"], m["scale"]["z"])
+            assert s in ((0.3, 0.3, 0.01), (0.01, 0.3, 0.3))
+            seen += 1
+    assert seen >= 1
+    # world poses come from the same frontend the engine ran: at least one
+    # marker lies within the eq gate of a mapped landmark
+    lms = session.get_mapped_landmarks()
+    if len(lms["pose"]):
+        pos = []
+        for topic, _, _, msg in read_messages(path):
+            if topic == "/detected_landmarks":
+                pos += [[m["pose"]["position"][k] for k in "xyz"]
+                        for m in msg["markers"]]
+        d = np.linalg.norm(
+            np.asarray(pos)[:, None, :] - np.asarray(lms["pose"])[None], axis=-1
+        )
+        assert d.min() < 1.0
