@@ -43,10 +43,16 @@ from semantic_slam_tpu.io import synthetic as synth_mod  # noqa: E402
 from semantic_slam_tpu.runtime.engine import SlamEngine  # noqa: E402
 
 # kitti is an OPEN trajectory (no loop closure): landmark observations bound
-# drift locally but full-batch re-optimization can redistribute it, so the
-# regression guard there is the same absolute bound tests/test_scenarios.py
-# asserts (< 1.0 over ~43 m), not beat-VIO. Huber reliably helps there
-# (stale latest-wins measurements at driving speed act like outliers).
+# drift locally but full-batch re-optimization redistributes it, landing at
+# an optimum FARTHER from ground truth than raw VIO. This is the problem's
+# optimum, not a solver artifact: benchmarks/independent_solver_check.py
+# re-optimizes the identical graph with scipy least_squares (independent
+# parameterization, numerical Jacobians) from the reference initial values
+# and lands at the SAME ATE and chi2 (0.489/31.5 vs ours 0.489/31.5 at
+# steps=360 seed=3; VIO 0.260) — i.e. the reference's g2o full-batch LM
+# (graph_slam.cpp:182-219) would degrade identically. Guard: RELATIVE to
+# VIO (<= vio_ratio_bound x) plus the absolute bound. Huber reliably helps
+# there (stale latest-wins measurements at driving speed act like outliers).
 SCENES = {
     "lab": dict(
         gen=dict(scene="lab", loops=2.0, drift_noise=0.008, sensor_every=5),
@@ -54,7 +60,7 @@ SCENES = {
     ),
     "kitti": dict(
         gen=dict(scene="kitti", drift_noise=0.006, sensor_every=5),
-        require_beat_vio=False, ate_bound=1.0,
+        require_beat_vio=False, ate_bound=1.0, vio_ratio_bound=2.2,
     ),
     "dense_indoor": dict(
         gen=dict(scene="dense_indoor", loops=1.5, drift_noise=0.008, sensor_every=5),
@@ -162,12 +168,17 @@ def main():
     if args.json:
         print(json.dumps(results, indent=1))
 
-    # regression guards: beat VIO on looped scenes; absolute bound always
+    # regression guards: beat VIO on looped scenes; relative-to-VIO ratio
+    # where full-batch re-optimization legitimately loses (open trajectory,
+    # see SCENES comment); absolute bound always
     bad = []
     for s, ms in results.items():
         for m, r in ms.items():
             if SCENES[s]["require_beat_vio"] and not (r["ate_opt"] < r["ate_vio"]):
                 bad.append((s, m, "opt !< vio"))
+            ratio = SCENES[s].get("vio_ratio_bound")
+            if ratio and not (r["ate_opt"] <= ratio * r["ate_vio"]):
+                bad.append((s, m, f"ate > {ratio}x vio"))
             if not (r["ate_opt"] < SCENES[s]["ate_bound"]):
                 bad.append((s, m, f"ate >= {SCENES[s]['ate_bound']}"))
     if bad:
