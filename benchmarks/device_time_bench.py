@@ -1,0 +1,250 @@
+"""Device-time decomposition: per-chip throughput without the tunnel RTT.
+
+The end-to-end numbers in README are dominated by this rig's remote-TPU
+tunnel (~20-100 ms per dispatch). BASELINE.md row 4 asks for keyframes/s
+PER CHIP — a property of the design, not the transport. The JAX profiler
+emits a real TPU device lane through the tunnel (verified: '/device:TPU:0'
+with an 'XLA Modules' thread), so this script traces the actual programs
+and reports ON-DEVICE time:
+
+  * solver: device ms per LM iteration at K=512 / 2048 / 4096 (PCG cg=32);
+  * engine tick: device ms for the fused detection-keyframe program
+    (frontend + association + ingestion + full LM solve + sync) at
+    640x480, and the implied keyframes/s per chip.
+
+Tunnel memoization (CLAUDE.md) is defeated with wall-clock-derived seeds;
+each traced call uses a graph/log never executed before.
+
+Usage: python benchmarks/device_time_bench.py [--json] [--skip-tick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED_BASE = int(time.time()) % 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# trace parsing
+# ---------------------------------------------------------------------------
+
+
+def _newest_trace(trace_root: str) -> str:
+    files = glob.glob(
+        os.path.join(trace_root, "plugins/profile/*/*.trace.json.gz")
+    )
+    return max(files, key=os.path.getmtime)
+
+
+def device_module_durations(trace_root: str) -> dict[str, list[float]]:
+    """Per XLA module: list of device-lane execution durations (ms)."""
+    data = json.load(gzip.open(_newest_trace(trace_root)))
+    ev = data.get("traceEvents", [])
+    dev_pids = {
+        e["pid"]
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e["args"].get("name", ""))
+    }
+    mod_tids = {
+        (e["pid"], e["tid"])
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and e["args"].get("name") == "XLA Modules"
+        and e["pid"] in dev_pids
+    }
+    out: dict[str, list[float]] = collections.defaultdict(list)
+    for e in ev:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in mod_tids:
+            name = e["name"].split("(")[0]  # strip program id
+            out[name].append(e["dur"] / 1e3)
+    return dict(out)
+
+
+class Tracer:
+    def __init__(self, root: str):
+        self.root = root
+        self.n = 0
+
+    def trace(self, fn):
+        import jax
+
+        d = os.path.join(self.root, f"t{self.n}")
+        self.n += 1
+        jax.profiler.start_trace(d)
+        try:
+            fn()
+        finally:
+            jax.profiler.stop_trace()
+        return device_module_durations(d)
+
+
+# ---------------------------------------------------------------------------
+# solver section
+# ---------------------------------------------------------------------------
+
+
+def solver_device_times(tracer: Tracer):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_graph
+    from semantic_slam_tpu.solver import pcg as pcg_mod
+
+    ITERS = 8
+    results = {}
+    for K, L, E2 in ((512, 128, 2048), (2048, 512, 8192), (4096, 1024, 16384)):
+        graphs = [
+            _build_graph(
+                K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05,
+                seed=SEED_BASE + 13 * K + s,
+            )
+            for s in range(2)
+        ]
+
+        def solve(g):
+            out, stats = pcg_mod.lm_optimize_pcg(
+                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+            )
+            return float(out.poses[0, 0])  # force a real fetch
+
+        solve(graphs[0])  # compile + warmup
+        t0 = time.perf_counter()
+        mods = tracer.trace(lambda: solve(graphs[1]))
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        durs = mods.get("jit_lm_optimize_pcg", [])
+        dev_ms = sum(durs)  # one traced execution
+        results[f"K{K}"] = {
+            "K": K, "edges": K - 1 + E2,
+            "device_ms_per_iter": round(dev_ms / ITERS, 4),
+            "device_ms_total": round(dev_ms, 3),
+            "wall_ms_total": round(wall_ms, 1),
+        }
+        print(
+            f"[device] solver K={K}: {dev_ms / ITERS:.3f} ms/iter on-device "
+            f"({dev_ms:.2f} ms device vs {wall_ms:.0f} ms wall incl. tunnel)",
+            file=sys.stderr, flush=True,
+        )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# engine tick section
+# ---------------------------------------------------------------------------
+
+
+def tick_device_times(tracer: Tracer, H=480, W=640):
+    """Trace a fresh-engine replay (everything already compiled by a first
+    replay) and pull the fused tick programs' device durations."""
+    from semantic_slam_tpu.config import (
+        AssociationConfig, CapacityConfig, InformationConfig, KeyframeConfig,
+        SegmentationConfig, SlamConfig, SolverConfig,
+    )
+    from semantic_slam_tpu.io import replay as replay_mod
+    from semantic_slam_tpu.io import synthetic as synth_mod
+    from semantic_slam_tpu.runtime.engine import SlamEngine
+
+    cfg = SlamConfig(
+        camera_angle_deg=0.0,
+        strict_reference_frames=True,
+        keyframe=KeyframeConfig(delta_trans=0.4, delta_angle=0.4, delta_time=2.0),
+        segmentation=SegmentationConfig(
+            num_point_seg=100, norm_point_thres=400, planar_area=0.01,
+            crop_height=64, crop_width=64, max_planes_per_detection=2,
+            num_hypotheses=64, normal_smoothing_size=10,
+        ),
+        association=AssociationConfig(
+            use_maha_dist=False, use_eq_dist=True, eq_dist_thres=1.0,
+            land_noise_low=0.1,
+        ),
+        information=InformationConfig(
+            use_const_inf_matrix=True, const_stddev_x=0.00667,
+            const_stddev_q=0.00001,
+        ),
+        solver=SolverConfig(max_iterations=16, dtype="float32"),
+        capacity=CapacityConfig(
+            max_keyframes=64, max_landmarks=16, max_odom_edges=64,
+            max_landmark_edges=256, max_detections_per_frame=4,
+        ),
+    )
+
+    def run(seed):
+        log = synth_mod.make_synthetic_log(
+            seed=seed, n_steps=120, sensor_every=6, drift_noise=0.008,
+            H=H, W=W, loops=1.0,
+        )
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        return eng
+
+    print("[device] tick: compile/warmup replay ...", file=sys.stderr, flush=True)
+    run(SEED_BASE)  # compiles every tick program
+    print("[device] tick: traced replay ...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    mods = tracer.trace(lambda: run(SEED_BASE + 1))
+    wall_s = time.perf_counter() - t0
+
+    out = {}
+    n_kf = 0
+    for name, durs in sorted(mods.items()):
+        if "tick" not in name and "ingest" not in name and "optimize" not in name:
+            continue
+        out[name.replace("jit_", "")] = {
+            "count": len(durs),
+            "device_ms_median": round(sorted(durs)[len(durs) // 2], 3),
+            "device_ms_total": round(sum(durs), 2),
+        }
+        print(
+            f"[device] {name}: n={len(durs)} median "
+            f"{sorted(durs)[len(durs) // 2]:.2f} ms device",
+            file=sys.stderr, flush=True,
+        )
+        if "tick_fused" in name:
+            n_kf += len(durs)
+    det = out.get("_tick_fused_detect")
+    if det:
+        kfps = 1000.0 / det["device_ms_median"]
+        out["keyframes_per_s_per_chip_device"] = round(kfps, 1)
+        print(
+            f"[device] detection tick: {det['device_ms_median']:.2f} ms device "
+            f"-> {kfps:.0f} keyframes/s per chip (device time, {W}x{H} clouds, "
+            f"full K<=64 re-solve per tick); traced replay wall {wall_s:.1f} s",
+            file=sys.stderr, flush=True,
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--skip-tick", action="store_true")
+    ap.add_argument("--trace-root", default="/tmp/device_time_bench")
+    args = ap.parse_args()
+
+    from semantic_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    tracer = Tracer(args.trace_root)
+
+    results = {"solver": solver_device_times(tracer)}
+    if not args.skip_tick:
+        results["tick"] = tick_device_times(tracer)
+
+    if args.json:
+        print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
