@@ -45,9 +45,15 @@ def tpu_ms_per_iter():
 
     # a DISTINCT graph per timed call: the remote TPU execution service
     # memoizes repeated (program, args) calls, which would fake a near-zero
-    # time; only wholly different inputs give honest numbers
+    # time; only wholly different inputs give honest numbers. Seeds derive
+    # from the wall clock because the memo persists ACROSS PROCESSES
+    # (CLAUDE.md) — fixed seeds an earlier bench already ran return
+    # instantly.
+    seed_base = int(time.time()) % 1_000_000
     graphs = [
-        _build_graph(K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05, seed=s)
+        _build_graph(
+            K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05, seed=seed_base + s
+        )
         for s in range(REPEATS + 1)
     ]
 
@@ -60,9 +66,17 @@ def tpu_ms_per_iter():
         for g in graphs[1:]:
             t0 = time.perf_counter()
             out, stats = f(g)
-            jax.block_until_ready(out.poses)
+            # block_until_ready alone has been observed to return WITHOUT a
+            # real round trip through the tunnel (sub-ms "solves"); a scalar
+            # fetch of the result is the only trustworthy barrier, and costs
+            # nothing extra when block was real (measured)
+            _ = float(out.poses[0, 0])
             times.append(time.perf_counter() - t0)
         ms = min(times) * 1e3 / ITERS
+        # sanity floor: a full K=512 solve is >= several ms of device time
+        # (benchmarks/device_time_bench.py: 1.3 ms/iter on-device); anything
+        # far below that means the timing barrier failed — refuse to report
+        assert ms > 0.5, f"{name}: implausible {ms:.3f} ms/iter (broken barrier?)"
         print(
             f"[bench] {name}: {ms:.2f} ms/iter "
             f"(chi2 {float(stats.chi2_initial):.1f} -> {float(stats.chi2_final):.3g}) "
