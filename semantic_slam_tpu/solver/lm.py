@@ -80,6 +80,33 @@ def inv33(A: jax.Array) -> jax.Array:
     return adj / det[..., None, None]
 
 
+def inv66(M: jax.Array) -> jax.Array:
+    """Batched closed-form 6x6 inverse via 2x2-of-3x3 block Schur.
+
+    ``jnp.linalg.inv`` on a [K,6,6] batch lowers to per-matrix LU
+    custom-calls on TPU — measured at ~half the K=4096 PCG solve's device
+    time. This composes two analytic 3x3 inverses with batched matmuls
+    (pure fusable XLA), needing only the leading 3x3 block and its Schur
+    complement to be invertible — true for the damped SPD Hessian diagonals
+    and the diagonally-dominant PCR elimination blocks this serves.
+    """
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, :3]
+    D = M[..., 3:, 3:]
+    Ai = inv33(A)
+    CAi = C @ Ai
+    S = D - CAi @ B
+    Si = inv33(S)
+    AiB = Ai @ B
+    TL = Ai + AiB @ Si @ CAi
+    TR = -(AiB @ Si)
+    BL = -(Si @ CAi)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def linearize_arrays(
     poses: jax.Array,  # [K, 7]
     landmarks: jax.Array,  # [L, 3]

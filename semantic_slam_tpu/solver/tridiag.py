@@ -27,12 +27,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from semantic_slam_tpu.solver.lm import inv33  # noqa: F401  (re-export habit)
+from semantic_slam_tpu.solver.lm import inv33, inv66  # noqa: F401
 
 
 def _inv66(A: jax.Array) -> jax.Array:
-    """Batched 6x6 inverse (LU via jnp.linalg — batched, no host sync)."""
-    return jnp.linalg.inv(A)
+    """Batched 6x6 inverse — analytic block-Schur (lm.inv66); the previous
+    jnp.linalg.inv lowered to per-matrix LU custom-calls on TPU."""
+    return inv66(A)
 
 
 class PCRFactor(NamedTuple):
