@@ -272,7 +272,7 @@ _PROC_STATICS = (
 )
 _OPT_STATICS = (
     "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
-    "pcg_precond", "robust_kind", "robust_delta",
+    "pcg_precond", "robust_kind", "robust_delta", "need_marginals",
 )
 
 
@@ -434,6 +434,7 @@ def _optimize_tick_impl(
     do_opt=True,
     init_lambda=0.0,
     prior=None,
+    need_marginals: bool = True,
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
@@ -462,7 +463,7 @@ def _optimize_tick_impl(
                     rel_tol=rel_tol, robust_kind=robust_kind,
                     robust_delta=robust_delta, init_lambda=init_lambda,
                 )
-            marg2 = fl.landmark_marginals_prior(g2, prior)
+            marg2 = fl.landmark_marginals_prior(g2, prior) if need_marginals else marg
         elif linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
@@ -479,7 +480,9 @@ def _optimize_tick_impl(
                 init_lambda=init_lambda,
             )
         if prior is None:
-            marg2 = lm_mod.landmark_marginals(g2)
+            # Euclidean-gating profiles never read the covariances: skip the
+            # Schur-factor marginal recovery entirely (need_marginals=False)
+            marg2 = lm_mod.landmark_marginals(g2) if need_marginals else marg
         has_lms = t.count > 0
         t2 = assoc_mod.sync_from_graph(t, g2.landmarks, marg2)
         t2 = jax.tree.map(lambda a, b: jnp.where(has_lms, a, b), t2, t)
@@ -548,6 +551,7 @@ def _tick_fused_detect(
     pcg_precond,
     robust_kind,
     robust_delta,
+    need_marginals=True,
     do_opt=True,
     init_lambda=0.0,
     prior=None,
@@ -567,7 +571,8 @@ def _tick_fused_detect(
         max_iterations=max_iterations, min_edges=min_edges, rel_tol=rel_tol,
         linear_solver=linear_solver, pcg_iters=pcg_iters,
         pcg_precond=pcg_precond,
-        robust_kind=robust_kind, robust_delta=robust_delta, do_opt=do_opt,
+        robust_kind=robust_kind, robust_delta=robust_delta,
+        need_marginals=need_marginals, do_opt=do_opt,
         init_lambda=init_lambda, prior=prior,
     )
     return graph, table, marginals, dets, info
@@ -713,7 +718,7 @@ def _process_keyframe_planes(
 
 @partial(jax.jit, static_argnames=(
     "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
-    "pcg_precond", "robust_kind", "robust_delta",
+    "pcg_precond", "robust_kind", "robust_delta", "need_marginals",
 ))
 def _optimize_tick_planes(
     graph,
@@ -731,6 +736,7 @@ def _optimize_tick_planes(
     do_opt=True,
     init_lambda=0.0,
     prior=None,
+    need_marginals: bool = True,
 ):
     """Planar-patch tick: joint pose+point+plane Schur LM (dense Cholesky or
     matrix-free PCG per ``linear_solver``), then the same marginal recovery +
@@ -758,7 +764,9 @@ def _optimize_tick_planes(
                 init_lambda=init_lambda, prior=prior,
             )
         ran = (stats.iterations > 0) & (table.count > 0)
-        if prior is not None:
+        if not need_marginals:
+            marg = table.cov  # eq gating never reads covariances
+        elif prior is not None:
             from semantic_slam_tpu.solver import fixed_lag as fl
 
             marg = fl.landmark_marginals_prior(graph, prior)
@@ -1001,6 +1009,9 @@ class SlamEngine:
             pcg_precond=self.cfg.solver.pcg_precond,
             robust_kind=self.cfg.solver.robust_kernel,
             robust_delta=self.cfg.solver.robust_delta,
+            # eq-gating never reads landmark covariances — skip the marginal
+            # recovery pass (a dense Schur-factor solve) on those profiles
+            need_marginals=bool(self.cfg.association.use_maha_dist),
         )
 
     def run(self) -> bool:
@@ -1064,6 +1075,7 @@ class SlamEngine:
                 pcg_precond=self.cfg.solver.pcg_precond,
                 robust_kind=self.cfg.solver.robust_kernel,
                 robust_delta=self.cfg.solver.robust_delta,
+                need_marginals=bool(self.cfg.association.use_maha_dist),
                 do_opt=do_opt,
                 init_lambda=init_lam,
             )
@@ -1283,6 +1295,7 @@ class SlamEngine:
                 pcg_precond=self.cfg.solver.pcg_precond,
                 robust_kind=self.cfg.solver.robust_kernel,
                 robust_delta=self.cfg.solver.robust_delta,
+                need_marginals=bool(self.cfg.association.use_maha_dist),
                 do_opt=np.bool_(True),
             )
         else:
