@@ -3,7 +3,9 @@
 
 Prints ONE JSON line:
   {"metric": "graph_solve_ms_per_iter", "value": <ms>, "unit": "ms",
-   "vs_baseline": <cpu_ms / tpu_ms>}
+   "vs_baseline": <cpu_ms / tpu_ms>,
+   "device_ms_per_iter": <profiler device-lane ms>,   # transport-free
+   "vs_baseline_device": <cpu_ms / device_ms>}
 
 The reference's dominant cost is g2o's full-batch LM re-optimization every
 tick (graph_slam.cpp:182-219, CPU sparse CHOLMOD). Since g2o itself is not
@@ -19,6 +21,7 @@ lab session at full keyframe density (BASELINE.md "graph-solve ms/iter").
 """
 
 import json
+import os
 import sys
 import time
 
@@ -49,7 +52,9 @@ def tpu_ms_per_iter():
     # from the wall clock because the memo persists ACROSS PROCESSES
     # (CLAUDE.md) — fixed seeds an earlier bench already ran return
     # instantly.
-    seed_base = int(time.time()) % 1_000_000
+    # ns resolution + pid so two runs started in the same second (or
+    # concurrent runs) can't collide on seeds and hit the memo
+    seed_base = (time.time_ns() ^ (os.getpid() << 16)) % 2_000_000_011
     graphs = [
         _build_graph(
             K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05, seed=seed_base + s
@@ -123,7 +128,37 @@ def tpu_ms_per_iter():
             print(f"[bench] dense pass skipped: {e}", file=sys.stderr)
     else:
         print("[bench] dense pass skipped (slow tunnel)", file=sys.stderr)
-    return best
+
+    # profiler-derived DEVICE time for the headline kernel: wall time through
+    # the tunnel swings run to run (r01 vs r02: 227x vs 372x purely from
+    # transport variance) — the device lane is the round-over-round-stable
+    # number. One traced execution on a never-before-seen graph.
+    device = None
+    try:
+        from benchmarks.device_time_bench import Tracer
+
+        g_t = _build_graph(
+            K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05,
+            seed=(seed_base + 7919) % 2_000_000_011,
+        )
+
+        def traced():
+            out, _ = pcg_mod.lm_optimize_pcg(
+                g_t, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+            )
+            _ = float(out.poses[0, 0])
+
+        mods = Tracer("/tmp/bench_trace").trace(traced)
+        durs = mods.get("jit_lm_optimize_pcg", [])
+        if durs:
+            device = sum(durs) / ITERS
+            print(
+                f"[bench] pcg32 device lane: {device:.3f} ms/iter",
+                file=sys.stderr,
+            )
+    except Exception as e:  # pragma: no cover - profiler flake
+        print(f"[bench] device-lane pass skipped: {e}", file=sys.stderr)
+    return best, device
 
 
 def cpu_baseline_ms_per_iter():
@@ -203,18 +238,20 @@ def cpu_baseline_ms_per_iter():
 
 
 def main():
-    tpu = tpu_ms_per_iter()
+    tpu, device = tpu_ms_per_iter()
     cpu = cpu_baseline_ms_per_iter()
-    print(
-        json.dumps(
-            {
-                "metric": "graph_solve_ms_per_iter",
-                "value": round(tpu, 4),
-                "unit": "ms",
-                "vs_baseline": round(cpu / tpu, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "graph_solve_ms_per_iter",
+        "value": round(tpu, 4),
+        "unit": "ms",
+        "vs_baseline": round(cpu / tpu, 3),
+    }
+    if device is not None:
+        # transport-independent companion numbers (BENCH_r03+): device lane
+        # ms/iter and the CPU-baseline multiple computed against it
+        out["device_ms_per_iter"] = round(device, 4)
+        out["vs_baseline_device"] = round(cpu / device, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

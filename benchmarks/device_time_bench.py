@@ -31,7 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SEED_BASE = int(time.time()) % 1_000_000
+# ns + pid: concurrent/back-to-back runs must not collide on seeds and
+# hit the cross-process tunnel memo (CLAUDE.md)
+SEED_BASE = (time.time_ns() ^ (os.getpid() << 16)) % 2_000_000_011
 
 
 # ---------------------------------------------------------------------------
@@ -73,22 +75,109 @@ def device_module_durations(trace_root: str) -> dict[str, list[float]]:
     return dict(out)
 
 
+def device_op_durations(trace_root: str) -> dict[str, float]:
+    """Per fused-kernel (XLA op) total device time (ms) from the op lane —
+    the per-kernel breakdown the module lane can't give."""
+    data = json.load(gzip.open(_newest_trace(trace_root)))
+    ev = data.get("traceEvents", [])
+    dev_pids = {
+        e["pid"]
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e["args"].get("name", ""))
+    }
+    op_tids = {
+        (e["pid"], e["tid"])
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and "XLA Ops" in str(e["args"].get("name", ""))
+        and e["pid"] in dev_pids
+    }
+    out: dict[str, float] = collections.defaultdict(float)
+    for e in ev:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
+            out[e["name"]] += e["dur"] / 1e3
+    return dict(out)
+
+
 class Tracer:
     def __init__(self, root: str):
         self.root = root
         self.n = 0
+        self.last_dir = None
 
     def trace(self, fn):
         import jax
 
         d = os.path.join(self.root, f"t{self.n}")
         self.n += 1
+        self.last_dir = d
         jax.profiler.start_trace(d)
         try:
             fn()
         finally:
             jax.profiler.stop_trace()
         return device_module_durations(d)
+
+
+# ---------------------------------------------------------------------------
+# roofline accounting
+# ---------------------------------------------------------------------------
+
+# per-chip peaks (dense MXU bf16 FLOP/s, HBM bytes/s) — public numbers from
+# the TPU generations table (jax-ml.github.io/scaling-book). f32 matmul runs
+# at ~1/2 the bf16 rate on the MXU; both are reported so the %-peak columns
+# bound the answer from both sides.
+_CHIP_PEAKS = {
+    "v4": (275e12, 1.23e12),
+    "v5e": (197e12, 0.82e12),
+    "v5p": (459e12, 2.77e12),
+    "v6e": (918e12, 1.64e12),
+    "v6 lite": (918e12, 1.64e12),
+}
+
+
+def chip_peaks(device_kind: str):
+    dk = device_kind.lower()
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in dk:
+            return peaks
+    return None, None
+
+
+def cost_numbers(jitted, *args, **kwargs):
+    """XLA cost_analysis (flops, bytes accessed) for a jitted callable at
+    the given example args — the numerator of MFU / roofline %s."""
+    c = jitted.lower(*args, **kwargs).compile()
+    ca = c.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def roofline_row(flops, bytes_acc, dev_ms, device_kind):
+    """%-of-peak numbers for one program execution."""
+    peak_flops_bf16, peak_bw = chip_peaks(device_kind)
+    t = dev_ms / 1e3
+    row = {
+        "gflops": round(flops / 1e9, 2),
+        "gbytes": round(bytes_acc / 1e9, 3),
+        "arith_intensity": round(flops / max(bytes_acc, 1.0), 1),
+        "achieved_tflops": round(flops / t / 1e12, 3),
+        "achieved_gbps": round(bytes_acc / t / 1e9, 1),
+    }
+    if peak_flops_bf16:
+        row["pct_peak_bf16"] = round(100 * flops / t / peak_flops_bf16, 2)
+        # f32 MXU rate ~ bf16/2: upper bound on compute utilization
+        row["pct_peak_f32"] = round(100 * flops / t / (peak_flops_bf16 / 2), 2)
+        row["pct_peak_hbm"] = round(100 * bytes_acc / t / peak_bw, 1)
+        # which wall the program is against at this shape
+        row["bound"] = (
+            "hbm" if row["pct_peak_hbm"] >= row["pct_peak_f32"] else "mxu"
+        )
+    return row
 
 
 # ---------------------------------------------------------------------------
@@ -132,9 +221,37 @@ def solver_device_times(tracer: Tracer):
             "device_ms_total": round(dev_ms, 3),
             "wall_ms_total": round(wall_ms, 1),
         }
+        # roofline: XLA's own flop/byte accounting over the traced program
+        # vs the chip's peak — names the wall (MXU vs HBM) at each K
+        try:
+            flops, bytes_acc = cost_numbers(
+                pcg_mod.lm_optimize_pcg, graphs[1],
+                max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+            )
+            if dev_ms > 0:
+                results[f"K{K}"]["roofline"] = roofline_row(
+                    flops, bytes_acc, dev_ms, jax.devices()[0].device_kind
+                )
+        except Exception as e:  # pragma: no cover
+            print(f"[device] cost_analysis unavailable: {e}", file=sys.stderr)
+        # per-kernel breakdown (top fused ops by device time)
+        try:
+            ops = device_op_durations(tracer.last_dir)
+            top = sorted(ops.items(), key=lambda kv: -kv[1])[:10]
+            results[f"K{K}"]["top_ops_ms"] = {k: round(v, 3) for k, v in top}
+        except Exception:
+            pass
+        rl = results[f"K{K}"].get("roofline", {})
         print(
             f"[device] solver K={K}: {dev_ms / ITERS:.3f} ms/iter on-device "
-            f"({dev_ms:.2f} ms device vs {wall_ms:.0f} ms wall incl. tunnel)",
+            f"({dev_ms:.2f} ms device vs {wall_ms:.0f} ms wall incl. tunnel)"
+            + (
+                f" | {rl['gflops']} GF, {rl['achieved_tflops']} TF/s, "
+                f"{rl['pct_peak_f32']}% f32-peak, {rl['pct_peak_hbm']}% HBM "
+                f"-> {rl['bound']}-bound"
+                if rl
+                else ""
+            ),
             file=sys.stderr, flush=True,
         )
     return results

@@ -203,6 +203,27 @@ def _world_points_aabb(
     return w, v, lo, hi, jnp.sum(v)
 
 
+@partial(jax.jit, static_argnames=("max_chunks",))
+def _chunk_point_counts(
+    w: jax.Array,  # [N, 3] world points
+    v: jax.Array,  # [N] valid
+    extent: jax.Array,  # [3] chunk extent (meters)
+    lo_c: jax.Array,  # [3] i32 first chunk coordinate of the AABB
+    n_c: jax.Array,  # [3] i32 chunk counts per axis
+    max_chunks: int,
+) -> jax.Array:
+    """Histogram of valid points over the AABB's chunk boxes, flattened as
+    ``relx * (ny*nz) + rely * nz + relz`` — fixed [max_chunks] shape so one
+    compiled program serves every insert regardless of the AABB size."""
+    rel = jnp.floor(w / extent[None, :]).astype(jnp.int32) - lo_c[None, :]
+    inb = jnp.all((rel >= 0) & (rel < n_c[None, :]), axis=-1) & v
+    flat = rel[:, 0] * (n_c[1] * n_c[2]) + rel[:, 1] * n_c[2] + rel[:, 2]
+    flat = jnp.where(inb, flat, max_chunks)  # dropped by mode="drop"
+    return jnp.zeros((max_chunks,), jnp.int32).at[flat].add(
+        inb.astype(jnp.int32), mode="drop"
+    )
+
+
 class ChunkedVoxelMap:
     """Unbounded occupancy map as a host dict of fixed-shape device chunks.
 
@@ -273,12 +294,47 @@ class ChunkedVoxelMap:
                 "likely corrupt points — raise max_chunks_per_insert if intended"
             )
         origin_w = robot_xyzrpy[:3]
+        # Pre-count points per candidate chunk (one fixed-shape program +
+        # one [max_chunks] fetch): a diagonal cloud's AABB covers many
+        # chunks no point lands in, and materializing each costs ~8 MB of
+        # device arrays plus a full insert program. Carving can still mark
+        # free space in point-empty pass-through chunks, so with carve=True
+        # empty-count chunks run the carve and are kept only if it wrote.
+        counts = np.asarray(
+            _chunk_point_counts(
+                w, v,
+                jnp.asarray(self.extent, w.dtype),
+                jnp.asarray(lo_c, jnp.int32),
+                jnp.asarray(hi_c - lo_c + 1, jnp.int32),
+                self.max_chunks_per_insert,
+            )
+        )
+        nyz = (hi_c[1] - lo_c[1] + 1) * (hi_c[2] - lo_c[2] + 1)
+        nz = hi_c[2] - lo_c[2] + 1
         for cx in range(lo_c[0], hi_c[0] + 1):
             for cy in range(lo_c[1], hi_c[1] + 1):
                 for cz in range(lo_c[2], hi_c[2] + 1):
                     cc = (cx, cy, cz)
+                    flat = (
+                        (cx - lo_c[0]) * nyz + (cy - lo_c[1]) * nz + (cz - lo_c[2])
+                    )
+                    has_points = counts[flat] > 0
+                    if not has_points and not self.carve:
+                        continue
+                    is_new = cc not in self.chunks
+                    if not has_points and is_new:
+                        # carve-only candidate: run the carve on a fresh
+                        # chunk, keep it only if any beam actually crossed
+                        g = self._grid_for(cc)
+                        g = carve_free_space(
+                            g, origin_w, w, v, samples=self.samples
+                        )
+                        if int(np.asarray(jnp.sum(g.misses))) > 0:
+                            self.chunks[cc] = g
+                        continue
                     g = self._grid_for(cc)
-                    g = insert_world_points(g, w, v)
+                    if has_points:
+                        g = insert_world_points(g, w, v)
                     if self.carve:
                         g = carve_free_space(g, origin_w, w, v, samples=self.samples)
                     self.chunks[cc] = g

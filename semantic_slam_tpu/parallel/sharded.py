@@ -88,10 +88,11 @@ def sharded_lm_optimize(
         def lin_fn(p, l):
             return _psum_lin(lm_mod.linearize_arrays(p, l, *edges), axis_name)
 
-        return lm_mod.run_lm_loop(
+        p, l, stats, _ = lm_mod.run_lm_loop(
             poses, landmarks, lin_fn, pose_free, lm_free,
             max_iterations, rel_tol,
         )
+        return p, l, stats
 
     sharded = jax.shard_map(
         body,

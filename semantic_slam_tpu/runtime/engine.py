@@ -444,49 +444,51 @@ def _optimize_tick_impl(
 
     def do_opt_branch(operand):
         g, t, marg = operand
-        if prior is not None:
-            from semantic_slam_tpu.solver import fixed_lag as fl
-
-            if linear_solver == "pcg":
-                from semantic_slam_tpu.solver import pcg as pcg_mod
-
-                g2, stats = pcg_mod.lm_optimize_pcg(
-                    g, max_iterations=max_iterations, min_edges=min_edges,
-                    rel_tol=rel_tol, max_cg_iters=pcg_iters,
-                    robust_kind=robust_kind, robust_delta=robust_delta,
-                    init_lambda=init_lambda, precond_kind=pcg_precond,
-                    prior=prior,
-                )
-            else:
-                g2, stats = fl.lm_optimize_prior(
-                    g, prior, max_iterations=max_iterations, min_edges=min_edges,
-                    rel_tol=rel_tol, robust_kind=robust_kind,
-                    robust_delta=robust_delta, init_lambda=init_lambda,
-                )
-            marg2 = fl.landmark_marginals_prior(g2, prior) if need_marginals else marg
-        elif linear_solver == "pcg":
+        # Marginal recovery reuses the LM loop's FINAL accepted linearization
+        # (no second linearize pass); on the PCG path it is matrix-free
+        # (landmark_marginals_mf) — no [6K,6K] factor on any maha+pcg tick.
+        marg2 = None
+        if linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
-            g2, stats = pcg_mod.lm_optimize_pcg(
+            out = pcg_mod.lm_optimize_pcg(
                 g, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, max_cg_iters=pcg_iters,
                 robust_kind=robust_kind, robust_delta=robust_delta,
                 init_lambda=init_lambda, precond_kind=pcg_precond,
+                prior=prior, with_marginals=need_marginals,
             )
+            (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
+        elif prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            out = fl.lm_optimize_prior(
+                g, prior, max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol, robust_kind=robust_kind,
+                robust_delta=robust_delta, init_lambda=init_lambda,
+                with_marginals=need_marginals,
+            )
+            (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
         else:
-            g2, stats = lm_mod.lm_optimize(
+            out = lm_mod.lm_optimize(
                 g, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, robust_kind=robust_kind, robust_delta=robust_delta,
-                init_lambda=init_lambda,
+                init_lambda=init_lambda, with_marginals=need_marginals,
             )
-        if prior is None:
-            # Euclidean-gating profiles never read the covariances: skip the
-            # Schur-factor marginal recovery entirely (need_marginals=False)
-            marg2 = lm_mod.landmark_marginals(g2) if need_marginals else marg
+            (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
         has_lms = t.count > 0
-        t2 = assoc_mod.sync_from_graph(t, g2.landmarks, marg2)
+        # Euclidean-gating profiles never read covariances during matching:
+        # recovery is skipped and the table keeps its own cov (the planes
+        # tick behaves identically; exported covariances come from the
+        # on-demand recovery in get_mapped_landmarks — docs/PARITY.md)
+        t2 = assoc_mod.sync_from_graph(
+            t, g2.landmarks, marg2 if marg2 is not None else t.cov
+        )
         t2 = jax.tree.map(lambda a, b: jnp.where(has_lms, a, b), t2, t)
-        marg2 = jnp.where(has_lms, marg2, marg)
+        if marg2 is None:
+            marg2 = marg
+        else:
+            marg2 = jnp.where(has_lms, marg2, marg)
         return g2, t2, marg2, stats
 
     def skip(operand):
@@ -746,16 +748,22 @@ def _optimize_tick_planes(
 
     def do_branch(operand):
         graph, table, pn = operand
+        marg = None
         if linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
-            graph, pn, stats = pcg_mod.lm_optimize_pcg_planes(
+            out = pcg_mod.lm_optimize_pcg_planes(
                 graph, pn, max_iterations=max_iterations, min_edges=min_edges,
                 rel_tol=rel_tol, max_cg_iters=pcg_iters,
                 robust_kind=robust_kind, robust_delta=robust_delta,
                 precond_kind=pcg_precond, init_lambda=init_lambda,
-                prior=prior,
+                prior=prior, with_marginals=need_marginals,
             )
+            # matrix-free recovery from the final joint point+plane blocks:
+            # no [6K,6K] factor on the planes scaling path either
+            (graph, pn, stats) = out[:3]
+            if need_marginals:
+                marg = out[3]
         else:
             graph, pn, stats = planes_ext.lm_optimize_with_planes(
                 graph, pn, max_iterations=max_iterations, min_edges=min_edges,
@@ -763,15 +771,16 @@ def _optimize_tick_planes(
                 robust_kind=robust_kind, robust_delta=robust_delta,
                 init_lambda=init_lambda, prior=prior,
             )
-        ran = (stats.iterations > 0) & (table.count > 0)
-        if not need_marginals:
-            marg = table.cov  # eq gating never reads covariances
-        elif prior is not None:
-            from semantic_slam_tpu.solver import fixed_lag as fl
+            if need_marginals:
+                if prior is not None:
+                    from semantic_slam_tpu.solver import fixed_lag as fl
 
-            marg = fl.landmark_marginals_prior(graph, prior)
-        else:
-            marg = lm_mod.landmark_marginals(graph)
+                    marg = fl.landmark_marginals_prior(graph, prior)
+                else:
+                    marg = lm_mod.landmark_marginals(graph)
+        ran = (stats.iterations > 0) & (table.count > 0)
+        if marg is None:
+            marg = table.cov  # eq gating never reads covariances
         t2 = assoc_mod.sync_from_graph(table, graph.landmarks, marg)
         table = jax.tree.map(lambda a, b: jnp.where(ran, a, b), t2, table)
         return graph, table, pn, stats
@@ -858,6 +867,11 @@ class SlamEngine:
         self._kf_base = 0  # keyframes marginalized out of the graph so far
         # optimized poses of marginalized keyframes (archived at drop time)
         self.archived_poses: list[np.ndarray] = []
+
+        # export-covariance cache for eq-gating profiles (see
+        # _export_covariances): recovered at most once per tick
+        self._export_marg = None
+        self._export_marg_tick = -1
 
         # optimize_every_n_ticks bookkeeping (1 = reference every-tick LM)
         self._ticks_done = 0
@@ -1544,6 +1558,8 @@ class SlamEngine:
         """Host-side growth check using count mirrors; doubles capacities when
         the incoming batch could overflow (a recompile point)."""
         mpd = self.cfg.capacity.max_detections_per_frame * self.cfg.segmentation.max_planes_per_detection
+        use_planes = self.cfg.use_plane_landmarks
+        use_fl = self.cfg.solver.fixed_lag_window > 0
         need_poses = self._n_poses + len(batch)
         need_lms = self._n_landmarks + mpd * len(batch)
         need_oe = self._n_odom + len(batch)
@@ -1553,16 +1569,20 @@ class SlamEngine:
             or need_oe > self.graph.odom_i.shape[0]
             or need_le > self.graph.lme_k.shape[0]
             or need_lms > self.graph.max_landmarks
-            or need_lms > self.plane_nodes.planes.shape[0]
-            or need_le > self.plane_nodes.pe_k.shape[0]
+            or (use_planes and need_lms > self.plane_nodes.planes.shape[0])
+            or (use_planes and need_le > self.plane_nodes.pe_k.shape[0])
         ):
             self.graph = gs.grow_graph(self.graph)
             self.table = _grow_table(self.table)
-            self.plane_nodes = _grow_planes(self.plane_nodes)
+            # disabled features keep their initial stub capacity — doubling
+            # plane/prior arrays on point-mode sessions is pure HBM waste
+            if use_planes:
+                self.plane_nodes = _grow_planes(self.plane_nodes)
             self.marginals = jnp.tile(
                 jnp.eye(3, dtype=self.dtype), (self.graph.max_landmarks, 1, 1)
             )
-            self.prior = _grow_prior(self.prior, self.graph.max_landmarks)
+            if use_fl:
+                self.prior = _grow_prior(self.prior, self.graph.max_landmarks)
 
     # ------------------------------------------------------------------
     # getters mirroring the reference API (semantic_graph_slam.h:27-113)
@@ -1602,11 +1622,39 @@ class SlamEngine:
         n = int(self.table.count)
         return {
             "pose": np.asarray(self.table.world[:n], np.float64),
-            "covariance": np.asarray(self.table.cov[:n], np.float64),
+            "covariance": np.asarray(self._export_covariances()[:n], np.float64),
             "class_id": np.asarray(self.table.class_id[:n]),
             "plane_type": np.asarray(self.table.plane_type[:n]),
             "normal": np.asarray(self.table.normal[:n], np.float64),
         }
+
+    def _export_covariances(self):
+        """Landmark covariances for export. Maha profiles recover marginals
+        every optimizing tick (table.cov is fresh); eq-gating profiles skip
+        that recovery (matching never reads it), so the reference behavior —
+        covariances set after EVERY optimize, semantic_graph_slam.cpp:89,
+        181-205 — is restored here by an on-demand recovery, cached per tick
+        (docs/PARITY.md 'marginal recovery cadence')."""
+        if bool(self.cfg.association.use_maha_dist):
+            return self.table.cov
+        if int(self.table.count) == 0 or self._n_lme == 0:
+            return self.table.cov
+        if self._export_marg_tick == self._ticks_done:
+            return self._export_marg
+        prior = self._prior_arg()
+        if self.cfg.solver.linear_solver == "pcg":
+            from semantic_slam_tpu.solver import pcg as pcg_mod
+
+            marg = pcg_mod.landmark_marginals_graph(self.graph, prior=prior)
+        elif prior is not None:
+            from semantic_slam_tpu.solver import fixed_lag as fl
+
+            marg = fl.landmark_marginals_prior(self.graph, prior)
+        else:
+            marg = lm_mod.landmark_marginals(self.graph)
+        self._export_marg = marg
+        self._export_marg_tick = self._ticks_done
+        return marg
 
 
 def _grow_prior(prior, new_L: int):

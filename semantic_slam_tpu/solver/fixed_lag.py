@@ -218,7 +218,10 @@ def apply_prior_planes(
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "min_edges", "rel_tol", "robust_kind", "robust_delta"),
+    static_argnames=(
+        "max_iterations", "min_edges", "rel_tol", "robust_kind",
+        "robust_delta", "with_marginals",
+    ),
 )
 def lm_optimize_prior(
     g: GraphState,
@@ -229,9 +232,12 @@ def lm_optimize_prior(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     init_lambda=0.0,
-) -> tuple[GraphState, LMStats]:
+    with_marginals: bool = False,
+):
     """Dense Schur LM over the active window + marginal prior
-    (``lm_optimize`` with the prior factor folded into every linearization)."""
+    (``lm_optimize`` with the prior factor folded into every linearization).
+    ``with_marginals=True`` also returns landmark marginals from the loop's
+    final accepted linearization (prior included — no re-linearization)."""
     pose_free, lm_free = lm_mod._free_masks(g)
     edges = lm_mod._edge_args(g)
 
@@ -241,7 +247,7 @@ def lm_optimize_prior(
         )
         return apply_prior(lin, prior, p, l)
 
-    poses, landmarks, stats = lm_mod.run_lm_loop(
+    poses, landmarks, stats, lin_f = lm_mod.run_lm_loop(
         g.poses, g.landmarks, lin_fn, pose_free, lm_free,
         max_iterations, rel_tol, init_lambda=init_lambda,
     )
@@ -256,37 +262,21 @@ def lm_optimize_prior(
         chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
         lambda_final=stats.lambda_final,
     )
+    if with_marginals:
+        marg = lm_mod.marginals_from_lin(lin_f, pose_free, lm_free)
+        return g, stats, marg
     return g, stats
 
 
 @jax.jit
 def landmark_marginals_prior(g: GraphState, prior: MarginalPrior) -> jax.Array:
     """``landmark_marginals`` with the prior information included (the
-    Mahalanobis gate consumes these in fixed-lag mode)."""
+    Mahalanobis gate consumes these in fixed-lag mode). Standalone/on-demand
+    variant; the hot tick reuses the LM loop's final linearization via
+    ``lm_optimize_prior(with_marginals=True)``."""
     pose_free, lm_free = lm_mod._free_masks(g)
     lin = apply_prior(lm_mod.linearize(g), prior, g.poses, g.landmarks)
-    K6 = lin.Hpp.shape[0]
-    L = lin.Hll.shape[0]
-    dtype = lin.Hpp.dtype
-
-    pm = jnp.repeat(pose_free.astype(dtype), 6)
-    lmm = lm_free.astype(dtype)
-    eye3 = jnp.eye(3, dtype=dtype)
-
-    A = lin.Hll * lmm[:, None, None] + eye3[None] * (1.0 - lmm)[:, None, None]
-    Ainv = lm_mod.inv33(A + 1e-8 * eye3[None])
-
-    W = lin.W * pm[:, None]
-    W = (W.reshape(K6, L, 3) * lmm[None, :, None]).reshape(K6, 3 * L)
-    WA = jnp.einsum("kld,lde->kle", W.reshape(K6, L, 3), Ainv).reshape(K6, 3 * L)
-    Hred = lin.Hpp - WA @ W.T
-    Hred = Hred * (pm[:, None] * pm[None, :]) + jnp.diag(1.0 - pm)
-
-    c, low = jax.scipy.linalg.cho_factor(Hred)
-    Y = jax.scipy.linalg.cho_solve((c, low), WA)
-    corr = jnp.einsum("kld,kle->lde", WA.reshape(K6, L, 3), Y.reshape(K6, L, 3))
-    sigma = Ainv + corr
-    return sigma * lmm[:, None, None] + eye3[None] * (1.0 - lmm)[:, None, None]
+    return lm_mod.marginals_from_lin(lin, pose_free, lm_free)
 
 
 # ---------------------------------------------------------------------------

@@ -418,12 +418,18 @@ def run_lm_loop(
         jnp.zeros((), bool),
     )
     p, l, lin_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
-    return p, l, LMStats(it, chi2_0, lin_f.chi2, lam)
+    # lin_f always matches the carried (p, l): both are where(accept, ...)'d
+    # in lockstep, so callers can reuse it (e.g. marginal recovery) without
+    # paying a second linearization
+    return p, l, LMStats(it, chi2_0, lin_f.chi2, lam), lin_f
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "min_edges", "rel_tol", "robust_kind", "robust_delta"),
+    static_argnames=(
+        "max_iterations", "min_edges", "rel_tol", "robust_kind",
+        "robust_delta", "with_marginals",
+    ),
 )
 def lm_optimize(
     g: GraphState,
@@ -433,11 +439,18 @@ def lm_optimize(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     init_lambda=0.0,
-) -> tuple[GraphState, LMStats]:
+    with_marginals: bool = False,
+):
     """Full-batch LM over the active graph (g2o GraphSLAM::optimize analog).
 
     Skips entirely when fewer than ``min_edges`` edges exist
     (graph_slam.cpp:184-186). ``init_lambda > 0`` warm-starts the damping.
+
+    ``with_marginals=True`` additionally returns the landmark marginal 3x3
+    blocks computed from the loop's FINAL accepted linearization — the same
+    Schur factors, no re-linearization (the reference reads marginals from
+    the optimizer's own Hessian, graph_slam.cpp:221-234, which includes any
+    robust reweighting — so does this).
     """
     pose_free, lm_free = _free_masks(g)
     edges = _edge_args(g)
@@ -445,7 +458,7 @@ def lm_optimize(
     def lin_fn(p, l):
         return linearize_arrays(p, l, *edges, robust_kind=robust_kind, robust_delta=robust_delta)
 
-    poses, landmarks, stats = run_lm_loop(
+    poses, landmarks, stats, lin_f = run_lm_loop(
         g.poses, g.landmarks, lin_fn, pose_free, lm_free,
         max_iterations, rel_tol, init_lambda=init_lambda,
     )
@@ -461,21 +474,22 @@ def lm_optimize(
         chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
         lambda_final=stats.lambda_final,
     )
+    if with_marginals:
+        marg = marginals_from_lin(lin_f, pose_free, lm_free)
+        return g, stats, marg
     return g, stats
 
 
-@jax.jit
-def landmark_marginals(g: GraphState) -> jax.Array:
-    """Marginal 3x3 covariance blocks of all landmarks, from the Schur factors.
+def marginals_from_lin(
+    lin: Linearization, pose_free: jax.Array, lm_free: jax.Array
+) -> jax.Array:
+    """Landmark marginal 3x3 blocks from an existing linearization.
 
-    Equivalent of ``GraphSLAM::computeLandmarkMarginals``
-    (graph_slam.cpp:221-234): for H = [[Hpp, W], [W^T, Hll]],
+    For H = [[Hpp, W], [W^T, Hll]],
       Sigma_ll = Hll^-1 + Hll^-1 W^T Hred^-1 W Hll^-1,
     returning only the [3,3] diagonal blocks (what Mahalanobis gating
     consumes, data_association.h:167-186). Inactive slots get identity.
     """
-    pose_free, lm_free = _free_masks(g)
-    lin = linearize(g)
     K6 = lin.Hpp.shape[0]
     L = lin.Hll.shape[0]
     dtype = lin.Hpp.dtype
@@ -500,3 +514,15 @@ def landmark_marginals(g: GraphState) -> jax.Array:
     corr = jnp.einsum("kld,kle->lde", WAr, Yr)
     sigma = Ainv + corr
     return sigma * lmm[:, None, None] + eye3[None] * (1.0 - lmm)[:, None, None]
+
+
+@jax.jit
+def landmark_marginals(g: GraphState) -> jax.Array:
+    """Marginal covariances at the CURRENT graph estimate (fresh
+    linearization) — ``GraphSLAM::computeLandmarkMarginals`` analog
+    (graph_slam.cpp:221-234). The hot path reuses the LM loop's final
+    linearization instead (``lm_optimize(with_marginals=True)``); this
+    standalone version serves on-demand recovery (e.g. exporting
+    covariances on eq-gating profiles)."""
+    pose_free, lm_free = _free_masks(g)
+    return marginals_from_lin(linearize(g), pose_free, lm_free)

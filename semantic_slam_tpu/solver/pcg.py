@@ -504,7 +504,120 @@ def run_lm_loop_pcg(
 
     init = (poses, landmarks, eb0, lam0, jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     p, l, eb_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
-    return p, l, LMStats(it, chi2_0, eb_f.chi2, lam)
+    # eb_f always matches the carried (p, l) — reusable for marginal
+    # recovery without re-linearizing (see landmark_marginals_mf)
+    return p, l, LMStats(it, chi2_0, eb_f.chi2, lam), eb_f
+
+
+def landmark_marginals_mf(
+    eb: EdgeBlocks,
+    pose_free: jax.Array,
+    block_free: jax.Array,
+    allreduce: Callable = lambda x: x,
+    prior=None,
+) -> jax.Array:
+    """Matrix-free landmark marginal recovery — the PCG-path analog of
+    ``lm.marginals_from_lin`` (graph_slam.cpp:221-234), with NO [6K,6K]
+    matrix anywhere.
+
+    Instead of eliminating landmarks and factoring the dense reduced CAMERA
+    system (the dense path: O(K^3) flops, a ~2.4 GB [6K,6K] factor at
+    K=4096), eliminate the POSES. The engine's pose graph is a pure
+    odometry chain (semantic_graph_slam.cpp:104-150 — every SE3-SE3 edge
+    joins consecutive keyframes), so the pose block Hpp is EXACTLY block
+    tridiagonal and parallel cyclic reduction (solver/tridiag.py) applies
+    Hpp^-1 in O(K log K) batched 6x6/6x3B MXU matmuls. The landmark-reduced
+    information
+
+        S = Hll - W^T Hpp^-1 W            ([3B, 3B])
+
+    is then inverted densely: B counts SEMANTIC OBJECTS (bounded by the
+    landmark table), while K is the axis that grows with trajectory length
+    — so no dense factor scales with the trajectory. ``Sigma_ll`` = the
+    diagonal 3x3 blocks of S^-1. EXACT (up to float summation) for chain
+    graphs; non-chain SE3-SE3 edges (never produced by the engine) would be
+    dropped from Hpp. Pinned against the dense recovery in tests/test_pcg.py.
+
+    The fixed-lag prior's pose part is a dense block over <=PB boundary
+    poses (fixed_lag.MarginalPrior.Hp). Its DIAGONAL already sits in
+    eb.diag (``apply_prior_blocks`` — eb MUST be prior-folded when
+    ``prior`` is passed); the off-diagonal coupling is folded exactly via a
+    PB-sized Woodbury correction.
+
+    Under shard_map, edge terms stay shard-local; the [K,6,3B] column
+    blocks and the [K,6,6] chain couplings are psum'd ONCE per recovery.
+    ``block_free`` masks the 3-dof landmark blocks (points, or points +
+    planes for the plane-extended system); inactive blocks get identity.
+    """
+    from semantic_slam_tpu.solver import tridiag as td
+    from semantic_slam_tpu.solver.assembly import cross_block_mm
+
+    K = eb.gp.shape[0]
+    B = eb.Hll.shape[0]
+    dtype = eb.gp.dtype
+    pf = pose_free.astype(dtype)
+    lmf = block_free.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    # pose-block tridiagonal T: masked diagonal + odometry-chain couplings
+    Dm = eb.diag * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
+    Dm, upper_loc = td.chain_blocks_from_edges(
+        Dm, eb.oi, eb.oj, eb.H_ij, pose_free
+    )
+    fac = td.pcr_factor(Dm, allreduce(upper_loc))
+
+    # W columns in [K,6,3B] layout (same bytes as the dense path's W — the
+    # saving is the missing [6K,6K] factor, not this)
+    w_e = pf[eb.lk] * lmf[eb.ll]
+    W_e = eb.W_kl * w_e[:, None, None]  # [E,6,3]
+    U = allreduce(cross_block_mm(eb.lk, eb.ll, W_e, K, B)).reshape(K, 6, 3 * B)
+    X = td.pcr_solve_cols(fac, U)  # T^-1 W
+
+    if prior is not None:
+        # Woodbury fold of the boundary prior's off-diagonal pose coupling:
+        # Hpp = T + Sel (Hp - blockdiag Hp) Sel^T  with Sel selecting the
+        # p_idx rows (the blockdiag part is already inside eb.diag).
+        PB = prior.p_idx.shape[0]
+        bidx = jnp.arange(PB)
+        Hp4 = prior.Hp.reshape(PB, 6, PB, 6)
+        bd = Hp4[bidx, :, bidx, :]  # [PB,6,6]
+        bd_embed = (
+            bd[:, :, None, :] * jnp.eye(PB, dtype=dtype)[:, None, :, None]
+        ).reshape(6 * PB, 6 * PB)
+        Delta = prior.Hp.astype(dtype) - bd_embed
+        sel_ok = pf[prior.p_idx]  # boundary poses outside the mask drop out
+        E = jnp.zeros((K, 6, PB, 6), dtype)
+        E = E.at[prior.p_idx, :, bidx, :].set(
+            jnp.eye(6, dtype=dtype)[None] * sel_ok[:, None, None]
+        )
+        TiS = td.pcr_solve_cols(fac, E.reshape(K, 6, 6 * PB))  # T^-1 Sel
+        M = TiS[prior.p_idx].reshape(6 * PB, 6 * PB)  # Sel^T T^-1 Sel
+        SX = X[prior.p_idx].reshape(6 * PB, 3 * B)  # Sel^T X
+        inner = jnp.eye(6 * PB, dtype=dtype) + Delta @ M
+        G = jnp.linalg.solve(inner, Delta @ SX)
+        X = X - jnp.einsum("kac,cd->kad", TiS, G)
+
+    # landmark-reduced information S = Hll - W^T Hpp^-1 W  ([3B,3B]) —
+    # dense in the BOUNDED landmark axis only
+    UtX = jnp.einsum("kac,kad->cd", U, X)
+    A = eb.Hll * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
+    bidx3 = jnp.arange(B)
+    S = (-UtX).reshape(B, 3, B, 3)
+    S = S.at[bidx3, :, bidx3, :].add(A)
+    m2 = lmf[:, None] * lmf[None, :]
+    S = S * m2[:, None, :, None]
+    S = S.at[bidx3, :, bidx3, :].add(
+        eye3[None] * (1.0 - lmf)[:, None, None]
+    )
+    S = S.reshape(3 * B, 3 * B)
+    S = 0.5 * (S + S.T) + 1e-8 * jnp.eye(3 * B, dtype=dtype)
+
+    c, low = jax.scipy.linalg.cho_factor(S)
+    Sigma = jax.scipy.linalg.cho_solve((c, low), jnp.eye(3 * B, dtype=dtype))
+    sigma = Sigma.reshape(B, 3, B, 3)[bidx3, :, bidx3, :]
+    sigma = 0.5 * (sigma + jnp.swapaxes(sigma, -1, -2))
+    return sigma * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
 
 
 def _edge_args(g: GraphState):
@@ -522,11 +635,39 @@ def _edge_args(g: GraphState):
     )
 
 
+@partial(jax.jit, static_argnames=("assembly",))
+def landmark_marginals_graph(
+    g: GraphState, prior=None, assembly: str = "auto"
+) -> jax.Array:
+    """Matrix-free marginals at the CURRENT graph estimate (fresh edge-block
+    build) — the PCG analog of ``lm.landmark_marginals`` for on-demand
+    recovery (e.g. exporting covariances on profiles whose ticks skip it)."""
+    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
+
+    pose_free, lm_free = _free_masks(g)
+    edge_args = _edge_args(g)
+    oh = None
+    if resolve_assembly(assembly) == "matmul":
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        oh = OneHots(
+            Oi=onehot(edge_args[0], K, g.poses.dtype),
+            Oj=onehot(edge_args[1], K, g.poses.dtype),
+            Ok=onehot(edge_args[5], K, g.poses.dtype),
+            Ol=onehot(edge_args[6], L, g.poses.dtype),
+        )
+    eb = build_edge_blocks(g.poses, g.landmarks, *edge_args, lambda x: x, oh=oh)
+    if prior is not None:
+        eb = apply_prior_blocks(eb, prior, g.poses, g.landmarks)
+    return landmark_marginals_mf(eb, pose_free, lm_free, prior=prior)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
         "robust_kind", "robust_delta", "precond_kind", "assembly",
+        "with_marginals",
     ),
 )
 def lm_optimize_pcg(
@@ -541,10 +682,15 @@ def lm_optimize_pcg(
     precond_kind: str = "jacobi",
     prior=None,
     assembly: str = "auto",
+    with_marginals: bool = False,
 ):
-    """Single-chip matrix-free LM (drop-in for lm_optimize)."""
+    """Single-chip matrix-free LM (drop-in for lm_optimize).
+
+    ``with_marginals=True`` additionally returns landmark marginals computed
+    matrix-free from the loop's final accepted edge blocks (prior included
+    when one is passed) — no dense [6K,6K] factor on any maha+pcg tick."""
     pose_free, lm_free = _free_masks(g)
-    poses, landmarks, stats = run_lm_loop_pcg(
+    poses, landmarks, stats, eb_f = run_lm_loop_pcg(
         g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
         lambda x: x, max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
@@ -562,6 +708,9 @@ def lm_optimize_pcg(
         chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
         lambda_final=stats.lambda_final,
     )
+    if with_marginals:
+        marg = landmark_marginals_mf(eb_f, pose_free, lm_free, prior=prior)
+        return g, stats, marg
     return g, stats
 
 
@@ -763,7 +912,7 @@ def run_lm_loop_pcg_planes(
         jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
     )
     p, l, pl, eb_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
-    return p, l, pl, LMStats(it, chi2_0, eb_f.chi2, lam)
+    return p, l, pl, LMStats(it, chi2_0, eb_f.chi2, lam), eb_f
 
 
 @partial(
@@ -771,6 +920,7 @@ def run_lm_loop_pcg_planes(
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
         "robust_kind", "robust_delta", "precond_kind", "assembly",
+        "with_marginals",
     ),
 )
 def lm_optimize_pcg_planes(
@@ -786,12 +936,16 @@ def lm_optimize_pcg_planes(
     init_lambda=0.0,
     prior=None,
     assembly: str = "auto",
+    with_marginals: bool = False,
 ):
     """Single-chip matrix-free planar-patch LM (drop-in for
-    ``graph/planes.lm_optimize_with_planes`` on the scaling path)."""
+    ``graph/planes.lm_optimize_with_planes`` on the scaling path).
+    ``with_marginals=True`` also returns the POINT-landmark marginal blocks
+    (the first L of the merged point+plane block system) computed
+    matrix-free from the final edge blocks."""
     pose_free, lm_free = _free_masks(g)
     plane_args = (pn.pe_k, pn.pe_p, pn.pe_meas, pn.pe_info, pn.pe_mask())
-    poses, landmarks, planes, stats = run_lm_loop_pcg_planes(
+    poses, landmarks, planes, stats, eb_f = run_lm_loop_pcg_planes(
         g.poses, g.landmarks, pn.planes, _edge_args(g), plane_args,
         pose_free, lm_free, pn.plane_mask(), lambda x: x,
         max_iterations, rel_tol, max_cg_iters,
@@ -811,6 +965,13 @@ def lm_optimize_pcg_planes(
         chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
         lambda_final=stats.lambda_final,
     )
+    if with_marginals:
+        L = g.landmarks.shape[0]
+        block_free = jnp.concatenate([lm_free, pn.plane_mask()])
+        marg = landmark_marginals_mf(
+            eb_f, pose_free, block_free, prior=prior
+        )[:L]
+        return g, pn, stats, marg
     return g, pn, stats
 
 
@@ -856,12 +1017,13 @@ def sharded_lm_optimize_pcg_planes(
         poses, landmarks, planes, pose_free, lm_free, plane_free,
         prior, edges, pargs,
     ):
-        return run_lm_loop_pcg_planes(
+        p, l, pl, stats, _ = run_lm_loop_pcg_planes(
             poses, landmarks, planes, edges, pargs, pose_free, lm_free,
             plane_free, lambda x: jax.lax.psum(x, axis_name),
             max_iterations, rel_tol, max_cg_iters,
             precond_kind=precond_kind, prior=prior, assembly=assembly,
         )
+        return p, l, pl, stats
 
     prior_spec = None if prior is None else type(prior)(*(P() for _ in prior))
 
@@ -920,7 +1082,7 @@ def sharded_lm_optimize_pcg_planes(
     jax.jit,
     static_argnames=(
         "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
-        "max_cg_iters", "precond_kind", "assembly",
+        "max_cg_iters", "precond_kind", "assembly", "with_marginals",
     ),
 )
 def sharded_lm_optimize_pcg(
@@ -934,10 +1096,14 @@ def sharded_lm_optimize_pcg(
     precond_kind: str = "jacobi",
     prior=None,
     assembly: str = "auto",
+    with_marginals: bool = False,
 ):
     """Edge-sharded matrix-free LM: ~[6K]+[3L] of psum traffic per CG step.
     ``prior`` (fixed-lag MarginalPrior) is replicated; its blocks are folded
-    post-psum on every shard."""
+    post-psum on every shard. ``with_marginals=True`` runs the matrix-free
+    marginal recovery inside the mesh from the final shard-local edge blocks
+    (one [K,6,3L]-class psum per recovery, not per step) and returns the
+    replicated [L,3,3] blocks."""
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis_name]
@@ -947,12 +1113,19 @@ def sharded_lm_optimize_pcg(
     edge_args = _edge_args(g)
 
     def body(poses, landmarks, pose_free, lm_free, prior, *edges):
-        return run_lm_loop_pcg(
+        allreduce = lambda x: jax.lax.psum(x, axis_name)
+        p, l, stats, eb_f = run_lm_loop_pcg(
             poses, landmarks, edges, pose_free, lm_free,
-            lambda x: jax.lax.psum(x, axis_name), max_iterations, rel_tol,
+            allreduce, max_iterations, rel_tol,
             max_cg_iters, precond_kind=precond_kind, prior=prior,
             assembly=assembly,
         )
+        if with_marginals:
+            marg = landmark_marginals_mf(
+                eb_f, pose_free, lm_free, allreduce, prior=prior
+            )
+            return p, l, stats, marg
+        return p, l, stats
 
     e_spec = tuple(P(axis_name) for _ in edge_args)
     prior_spec = (
@@ -961,6 +1134,9 @@ def sharded_lm_optimize_pcg(
     def body_no_prior(poses, landmarks, pose_free, lm_free, *edges):
         return body(poses, landmarks, pose_free, lm_free, None, *edges)
 
+    out_specs = (P(), P(), LMStats(P(), P(), P(), P()))
+    if with_marginals:
+        out_specs = out_specs + (P(),)
     sharded = jax.shard_map(
         body_no_prior if prior is None else body,
         mesh=mesh,
@@ -969,17 +1145,16 @@ def sharded_lm_optimize_pcg(
             if prior is None
             else (P(), P(), P(), P(), prior_spec) + e_spec
         ),
-        out_specs=(P(), P(), LMStats(P(), P(), P(), P())),
+        out_specs=out_specs,
         check_vma=False,
     )
     if prior is None:
-        poses, landmarks, stats = sharded(
-            g.poses, g.landmarks, pose_free, lm_free, *edge_args
-        )
+        out = sharded(g.poses, g.landmarks, pose_free, lm_free, *edge_args)
     else:
-        poses, landmarks, stats = sharded(
+        out = sharded(
             g.poses, g.landmarks, pose_free, lm_free, prior, *edge_args
         )
+    poses, landmarks, stats = out[0], out[1], out[2]
 
     run = g.num_edges() >= min_edges
     g = g._replace(
@@ -992,4 +1167,6 @@ def sharded_lm_optimize_pcg(
         chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
         lambda_final=stats.lambda_final,
     )
+    if with_marginals:
+        return g, stats, out[3]
     return g, stats

@@ -32,7 +32,14 @@ from semantic_slam_tpu.solver.lm import inv33, inv66  # noqa: F401
 
 def _inv66(A: jax.Array) -> jax.Array:
     """Batched 6x6 inverse — analytic block-Schur (lm.inv66); the previous
-    jnp.linalg.inv lowered to per-matrix LU custom-calls on TPU."""
+    jnp.linalg.inv lowered to per-matrix LU custom-calls on TPU.
+
+    PRECONDITION (inherited from lm.inv66): each matrix's leading 3x3 block
+    and its Schur complement must be invertible — no pivoting happens, so an
+    ill-conditioned leading block yields silent non-finite output where an
+    LU would still solve. Holds for the damped SPD diagonals and the
+    diagonally-dominant PCR elimination blocks this module feeds it; a new
+    caller with arbitrary blocks must guarantee it (or check finiteness)."""
     return inv66(A)
 
 
@@ -104,6 +111,23 @@ def pcr_solve(fac: PCRFactor, r: jax.Array) -> jax.Array:
         )
         s *= 2
     return jnp.einsum("kij,kj->ki", fac.final_inv, r)
+
+
+def pcr_solve_cols(fac: PCRFactor, R: jax.Array) -> jax.Array:
+    """Apply the factored inverse to a block of rhs columns ``R`` [K,6,C]
+    at once — each PCR level is one batched [K,6,6]x[K,6,C] matmul, so a
+    wide C (e.g. the 3L marginal-recovery columns) rides the MXU instead of
+    looping pcr_solve."""
+    levels = fac.alphas.shape[0]
+    s = 1
+    for l in range(levels):
+        R = (
+            R
+            - jnp.einsum("kij,kjc->kic", fac.alphas[l], _shift_down(R, s))
+            - jnp.einsum("kij,kjc->kic", fac.gammas[l], _shift_up(R, s))
+        )
+        s *= 2
+    return jnp.einsum("kij,kjc->kic", fac.final_inv, R)
 
 
 def chain_blocks_from_edges(

@@ -200,3 +200,155 @@ class TestMatmulAssembly:
         np.testing.assert_allclose(
             np.asarray(chunked), np.asarray(full), atol=1e-12
         )
+
+
+def _walk_jaxpr(jaxpr, out_eqns):
+    """Collect every equation in a (closed) jaxpr, recursing into sub-jaxprs
+    (pjit/while/cond/scan/shard_map bodies)."""
+    for eqn in jaxpr.eqns:
+        out_eqns.append(eqn)
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):  # ClosedJaxpr
+                _walk_jaxpr(v.jaxpr, out_eqns)
+            elif hasattr(v, "eqns"):  # Jaxpr
+                _walk_jaxpr(v, out_eqns)
+            elif isinstance(v, (list, tuple)):
+                for vv in v:
+                    if hasattr(vv, "jaxpr"):
+                        _walk_jaxpr(vv.jaxpr, out_eqns)
+                    elif hasattr(vv, "eqns"):
+                        _walk_jaxpr(vv, out_eqns)
+    return out_eqns
+
+
+class TestMarginalsMF:
+    """Matrix-free marginal recovery (landmark_marginals_mf): the pose-chain
+    elimination must match the dense Schur recovery exactly, with no
+    [6K,6K] intermediate anywhere in the program (VERDICT r2 item 1)."""
+
+    def test_matches_dense(self, rng):
+        g, _, _ = build_chain_graph(rng, n_poses=10, n_lms=6, noise=0.05)
+        md = np.asarray(lm_mod.landmark_marginals(g))
+        pf, lf = lm_mod._free_masks(g)
+        eb = pcg_mod.build_edge_blocks(
+            g.poses, g.landmarks, *pcg_mod._edge_args(g), IDENT
+        )
+        mt = np.asarray(pcg_mod.landmark_marginals_mf(eb, pf, lf))
+        L = int(g.num_landmarks)
+        np.testing.assert_allclose(mt[:L], md[:L], rtol=1e-6, atol=1e-9)
+        # inactive slots stay identity
+        np.testing.assert_allclose(
+            mt[L:], np.broadcast_to(np.eye(3), mt[L:].shape), atol=1e-12
+        )
+
+    def test_optimize_with_marginals_dense_reuse(self, rng):
+        """lm_optimize(with_marginals=True) must equal the standalone
+        recovery at the optimized estimate (same final linearization)."""
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g2, _, marg = lm_mod.lm_optimize(g, with_marginals=True)
+        md = np.asarray(lm_mod.landmark_marginals(g2))
+        np.testing.assert_allclose(np.asarray(marg), md, rtol=1e-6, atol=1e-10)
+
+    def test_optimize_pcg_with_marginals(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g2, _, marg = pcg_mod.lm_optimize_pcg(
+            g, max_cg_iters=256, with_marginals=True
+        )
+        md = np.asarray(lm_mod.landmark_marginals(g2))
+        L = int(g.num_landmarks)
+        np.testing.assert_allclose(
+            np.asarray(marg)[:L], md[:L], rtol=1e-5, atol=1e-8
+        )
+
+    def test_prior_woodbury(self, rng):
+        """Dense multi-pose boundary prior (off-diagonal Hp coupling) must
+        fold exactly via the PB-sized Woodbury correction."""
+        from semantic_slam_tpu.solver import fixed_lag as fl
+
+        g, _, _ = build_chain_graph(rng, n_poses=12, n_lms=6, noise=0.05)
+        L = g.landmarks.shape[0]
+        PB = 4
+        Hp = np.zeros((6 * PB, 6 * PB))
+        Araw = rng.normal(size=(18, 18))
+        Hp[:18, :18] = Araw @ Araw.T * 0.5 + 5 * np.eye(18)
+        prior = fl.empty_prior(L, PB=PB, dtype=jnp.float64)._replace(
+            p_idx=jnp.asarray([1, 2, 3, 0], jnp.int32),
+            p_ref=g.poses[jnp.asarray([1, 2, 3, 0])],
+            num_p=jnp.asarray(3, jnp.int32),
+            Hp=jnp.asarray(Hp),
+        )
+        md = np.asarray(fl.landmark_marginals_prior(g, prior))
+        pf, lf = lm_mod._free_masks(g)
+        eb = pcg_mod.build_edge_blocks(
+            g.poses, g.landmarks, *pcg_mod._edge_args(g), IDENT
+        )
+        eb = pcg_mod.apply_prior_blocks(eb, prior, g.poses, g.landmarks)
+        mt = np.asarray(pcg_mod.landmark_marginals_mf(eb, pf, lf, prior=prior))
+        La = int(g.num_landmarks)
+        np.testing.assert_allclose(mt[:La], md[:La], rtol=1e-6, atol=1e-9)
+
+    def test_sharded_with_marginals_matches_single(self, rng):
+        from semantic_slam_tpu.parallel.sharded import make_mesh, shard_graph_edges
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g1, _, m1 = pcg_mod.lm_optimize_pcg(
+            g, max_cg_iters=256, with_marginals=True
+        )
+        mesh = make_mesh(4)
+        gs_ = shard_graph_edges(g, mesh)
+        g2, _, m2 = pcg_mod.sharded_lm_optimize_pcg(
+            gs_, mesh, max_cg_iters=256, with_marginals=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-7
+        )
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-4, atol=1e-7)
+
+    def test_no_dense_pose_factor_in_pcg_tick(self, rng):
+        """VERDICT r2 done-criterion: no [6K,6K] array anywhere in a
+        maha+pcg optimize+marginals program."""
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        K6 = 6 * g.poses.shape[0]
+
+        def run(g):
+            return pcg_mod.lm_optimize_pcg(g, with_marginals=True)
+
+        jaxpr = jax.make_jaxpr(run)(g)
+        eqns = _walk_jaxpr(jaxpr.jaxpr, [])
+        bad = []
+        for eqn in eqns:
+            for v in list(eqn.outvars) + list(eqn.invars):
+                shape = getattr(getattr(v, "aval", None), "shape", ())
+                if len(shape) >= 2 and shape[-1] == K6 and shape[-2] == K6:
+                    bad.append((eqn.primitive.name, shape))
+        assert not bad, f"dense [6K,6K] intermediates found: {bad}"
+
+    def test_collective_sizes_pcg_sharded(self, rng):
+        """docs/SCALING.md byte-accounting pin (VERDICT r2 item 6): every
+        psum in the sharded PCG solve moves O(K + L) data — reintroducing an
+        O(K^2) collective must fail this test."""
+        from semantic_slam_tpu.parallel.sharded import make_mesh, shard_graph_edges
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        mesh = make_mesh(4)
+        gs_ = shard_graph_edges(g, mesh)
+
+        def run(g):
+            return pcg_mod.sharded_lm_optimize_pcg(g, mesh, max_cg_iters=64)
+
+        jaxpr = jax.make_jaxpr(run)(gs_)
+        eqns = _walk_jaxpr(jaxpr.jaxpr, [])
+        psums = [e for e in eqns if "psum" in e.primitive.name]
+        assert psums, "no psum collectives found in the sharded program"
+        # allowed per-psum payloads: [K,6] pose vecs, [L,3] landmark vecs,
+        # [K,6,6] diag blocks (once per linearize), [L,3,3] Hll, scalars
+        limit = max(K * 36, L * 9)
+        for e in psums:
+            for v in e.invars:
+                sz = int(np.prod(getattr(v.aval, "shape", ()) or (1,)))
+                assert sz <= limit, (
+                    f"psum payload {v.aval.shape} ({sz} elems) exceeds the "
+                    f"O(K+L) budget {limit} — an O(K^2) collective crept in"
+                )

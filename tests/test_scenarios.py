@@ -90,6 +90,27 @@ class TestKittiScenario:
         lms = eng.get_mapped_landmarks()
         assert (np.abs(lms["pose"][:, 2] - 0.7) < 0.5).all()
 
+    def test_export_covariances_recovered_on_eq_profile(self, kitti_session):
+        """Eq-gating profiles skip per-tick marginal recovery (matching
+        never reads covariances), but the reference refreshes them after
+        every optimize (semantic_graph_slam.cpp:89,181-205) — exports must
+        deliver fresh marginals via the on-demand recovery (PARITY ledger),
+        not creation-time or identity covariances."""
+        from semantic_slam_tpu.solver import lm as lm_mod
+
+        _, eng = kitti_session
+        lms = eng.get_mapped_landmarks()
+        n = len(lms["pose"])
+        assert n > 0
+        md = np.asarray(lm_mod.landmark_marginals(eng.graph))[:n]
+        np.testing.assert_allclose(lms["covariance"], md, rtol=1e-5, atol=1e-8)
+        assert not np.allclose(
+            lms["covariance"], np.broadcast_to(np.eye(3), (n, 3, 3))
+        )
+        # cached: a second export at the same tick reuses the same arrays
+        lms2 = eng.get_mapped_landmarks()
+        np.testing.assert_array_equal(lms2["covariance"], lms["covariance"])
+
 
 class TestDenseIndoorScenario:
     @pytest.fixture(scope="class")
