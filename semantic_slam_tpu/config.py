@@ -348,3 +348,33 @@ PROFILES: dict[str, SlamConfig] = {
         ),
     ),
 }
+
+
+def _recommend(base: SlamConfig, **solver_kw: Any) -> SlamConfig:
+    return base.replace(solver=dataclasses.replace(base.solver, **solver_kw))
+
+
+# "<name>_recommended": the configuration we actually advise per scene
+# class. Parity profiles stay knob-for-knob with /root/reference/config —
+# including configurations that LOSE to their own VIO input (the kitti
+# profile's open corridor: parity ATE 0.489 vs raw VIO 0.260, README
+# accuracy table) — so the recommended variants exist to make the winning
+# setup a first-class name instead of a flag users must discover.
+# kitti: DCS robust observations (measured 0.249 < VIO 0.260 — the stale
+# latest-wins measurements at driving speed act like outliers;
+# benchmarks/accuracy_sweep.py asserts recommended beats VIO per scene).
+# The other four profiles already beat raw VIO as-is, so their recommended
+# variants are the parity configs unchanged (aliases by construction).
+PROFILES.update(
+    {
+        "bucket_detector_recommended": PROFILES["bucket_detector"],
+        "bucket_detector_workspace_recommended": PROFILES[
+            "bucket_detector_workspace"
+        ],
+        "yolo_detector_recommended": PROFILES["yolo_detector"],
+        "yolo_detector_kitti_recommended": _recommend(
+            PROFILES["yolo_detector_kitti"], robust_kernel="dcs", robust_delta=1.0
+        ),
+        "yolo_detector_rotonda_recommended": PROFILES["yolo_detector_rotonda"],
+    }
+)

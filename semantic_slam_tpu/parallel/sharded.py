@@ -157,3 +157,125 @@ def shard_graph_edges(g: GraphState, mesh: Mesh, axis_name: str = "shard") -> Gr
         lme_info=put(g.lme_info, espec),
         num_lme=put(g.num_lme, rspec),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-level sharded window step (frontend data-parallel over the mesh)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis_name", "samp_h", "samp_w", "max_planes",
+        "num_hypotheses", "smoothing_size", "strict_frames",
+        "use_rtabmap_offset", "max_iterations", "min_edges", "rel_tol",
+        "max_cg_iters",
+    ),
+)
+def sharded_window_step(
+    graph: GraphState,
+    table,
+    odoms,          # [B,7] stacked keyframe odometry (prefix-valid rows)
+    row_valid,      # [B] bool
+    prev_odom7,
+    has_prev,
+    info6,
+    points,         # [B,H,W,3]
+    cloud_valid,    # [B,H,W]
+    boxes,          # [B,D,4]
+    class_ids,
+    probs,
+    robot_xyzrpy,   # [B,6]
+    cam_angle,
+    num_point_seg,
+    norm_point_thres,
+    planar_area,
+    distance_thres,
+    cos_angular_thres,
+    use_maha,
+    maha_thres,
+    eq_thres,
+    land_noise,
+    use_plane_gate,
+    plane_cos_thres,
+    plane_offset_thres,
+    lm_info3,
+    mesh: Mesh,
+    axis_name: str = "shard",
+    samp_h: int = 32,
+    samp_w: int = 32,
+    max_planes: int = 1,
+    num_hypotheses: int = 16,
+    smoothing_size: int = 5,
+    strict_frames: bool = True,
+    use_rtabmap_offset: bool = False,
+    max_iterations: int = 8,
+    min_edges: int = 1,
+    rel_tol: float = 1e-6,
+    max_cg_iters: int = 32,
+):
+    """The FULL keyframe pipeline, distributed: the whole window tick —
+    keyframe ingest, frontend, sequential association, landmark ingest,
+    matrix-free LM solve — compiles and runs under the mesh.
+
+    * frontend (backprojection-free xyz path): window rows are
+      data-parallel — ``shard_map`` over the B axis, each device segmenting
+      B/n keyframes' pixels (the wide work of SURVEY §2's parallelism
+      inventory);
+    * association + landmark ingest: the genuinely sequential tail, shares
+      ``runtime.engine._window_assoc_scan`` with the single-chip window
+      program (XLA all-gathers the B/n detection rows off the mesh — tiny
+      [B,D,*] tensors);
+    * solve: edge-sharded matrix-free PCG (``pcg.sharded_lm_optimize_pcg``
+      body semantics) over the same mesh.
+
+    Single-chip equivalence is pinned by
+    tests/test_sharded_window.py; ``__graft_entry__.dryrun_multichip`` runs
+    it as the fifth dryrun line.
+    """
+    from semantic_slam_tpu.frontend import segmentation as seg_mod
+    from semantic_slam_tpu.runtime import engine as eng
+    from semantic_slam_tpu.solver import pcg as pcg_mod
+
+    n = mesh.shape[axis_name]
+    B = odoms.shape[0]
+    assert B % n == 0, "window rows must divide the mesh"
+
+    base = graph.num_poses
+    graph = eng._ingest_keyframes_batch(
+        graph, odoms, row_valid, prev_odom7, has_prev, info6
+    )
+    kf_idx = base + jnp.cumsum(row_valid.astype(jnp.int32)) - 1
+
+    def seg_body(pts, cv, bx, ci, pr, rxy):
+        return jax.vmap(
+            lambda p, c, b, i, q, r: seg_mod.segment_all(
+                p, c, b, i, q, r, cam_angle, num_point_seg, norm_point_thres,
+                planar_area, distance_thres, cos_angular_thres,
+                samp_h=samp_h, samp_w=samp_w, max_planes=max_planes,
+                num_hypotheses=num_hypotheses, smoothing_size=smoothing_size,
+                strict_frames=strict_frames,
+            )
+        )(pts, cv, bx, ci, pr, rxy)
+
+    dets_stack = jax.shard_map(
+        seg_body,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 6,
+        out_specs=P(axis_name),
+        check_vma=False,
+    )(points, cloud_valid, boxes, class_ids, probs, robot_xyzrpy)
+
+    graph, table = eng._window_assoc_scan(
+        graph, table, dets_stack, robot_xyzrpy, row_valid, kf_idx, cam_angle,
+        use_maha, maha_thres, eq_thres, land_noise, use_plane_gate,
+        plane_cos_thres, plane_offset_thres, lm_info3,
+        strict_frames=strict_frames, use_rtabmap_offset=use_rtabmap_offset,
+    )
+
+    graph, stats = pcg_mod.sharded_lm_optimize_pcg(
+        graph, mesh, axis_name=axis_name, max_iterations=max_iterations,
+        min_edges=min_edges, rel_tol=rel_tol, max_cg_iters=max_cg_iters,
+    )
+    return graph, table, stats

@@ -388,13 +388,40 @@ def _process_keyframes_window(
         )
     )(points, cloud_valid, boxes, class_ids, probs, robot_xyzrpy)
 
+    graph, table = _window_assoc_scan(
+        graph, table, dets_stack, robot_xyzrpy, row_valid, kf_idx, cam_angle,
+        use_maha, maha_thres, eq_thres, land_noise, use_plane_gate,
+        plane_cos_thres, plane_offset_thres, lm_info3,
+        strict_frames=statics["strict_frames"],
+        use_rtabmap_offset=statics["use_rtabmap_offset"],
+    )
+    # last REAL row's detections, selected in-program: an eager host-side
+    # a[n-1] per pytree leaf would cost one tunnel dispatch per leaf per
+    # flush plus a remote compile per distinct n (CLAUDE.md hot-path rules)
+    dets_last = jax.tree.map(lambda a: a[last_row], dets_stack)
+    return graph, table, dets_last
+
+
+def _window_assoc_scan(
+    graph, table, dets_stack, robot_xyzrpy, row_valid, kf_idx, cam_angle,
+    use_maha, maha_thres, eq_thres, land_noise, use_plane_gate,
+    plane_cos_thres, plane_offset_thres, lm_info3,
+    *, strict_frames: bool, use_rtabmap_offset: bool,
+):
+    """The genuinely sequential tail of the window program: association +
+    landmark ingest scanned row by row (landmarks created by keyframe i are
+    matchable by keyframe i+1 — the reference's semantics). Shared by the
+    single-chip window program and the mesh-sharded window step
+    (parallel/sharded.sharded_window_step), so their gating math cannot
+    diverge."""
+
     def step(carry, xs):
         g, t = carry
         dets_row, rxy, rv, kidx = xs
         t2, res = assoc_mod.associate(
             t, dets_row, rxy, cam_angle, use_maha, maha_thres, eq_thres,
-            land_noise, strict_frames=statics["strict_frames"],
-            rtabmap_y_offset=statics["use_rtabmap_offset"],
+            land_noise, strict_frames=strict_frames,
+            rtabmap_y_offset=use_rtabmap_offset,
             use_plane_gate=use_plane_gate, plane_cos_thres=plane_cos_thres,
             plane_offset_thres=plane_offset_thres,
         )
@@ -411,11 +438,7 @@ def _process_keyframes_window(
     (graph, table), _ = jax.lax.scan(
         step, (graph, table), (dets_stack, robot_xyzrpy, row_valid, kf_idx)
     )
-    # last REAL row's detections, selected in-program: an eager host-side
-    # a[n-1] per pytree leaf would cost one tunnel dispatch per leaf per
-    # flush plus a remote compile per distinct n (CLAUDE.md hot-path rules)
-    dets_last = jax.tree.map(lambda a: a[last_row], dets_stack)
-    return graph, table, dets_last
+    return graph, table
 
 
 def _optimize_tick_impl(
