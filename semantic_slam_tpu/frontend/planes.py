@@ -45,6 +45,35 @@ class PlaneSet(NamedTuple):
     valid: jax.Array  # [P] bool
 
 
+def classify_and_canonicalize(m: jax.Array, d: jax.Array, h: jax.Array):
+    """Reference h/v classification + normal-sign canonicalization
+    (plane_segmentation.cpp:195-253), pinned to compiled-reference goldens
+    (tests/test_ref_oracle_frontend.py).
+
+    ``m`` [3] plane normal, ``d`` scalar offset, ``h`` [3] the horizontal
+    plane's normal rotated into the cam frame. Returns
+    (coeffs4 canonicalized, hv flag 0=horizontal/1=vertical, is_h_or_v).
+    Quirks reproduced: the per-component test is ONE-SIDED
+    (``fabs(m_i)-fabs(h_i) < 0.3``, no absolute value on the difference);
+    vertical additionally needs ``dot(h, m) < 0.5``; horizontal planes flip
+    sign when ``m[1] > 0`` (cpp:210-220), vertical when ``m[0] > 0``
+    (cpp:235-247) — the WHOLE 4-vector flips, offset included."""
+    is_horizontal = (
+        (jnp.abs(m[0]) - jnp.abs(h[0]) < 0.3)
+        & (jnp.abs(m[1]) - jnp.abs(h[1]) < 0.3)
+        & (jnp.abs(m[2]) - jnp.abs(h[2]) < 0.3)
+    )
+    dot_hm = jnp.sum(h * m)
+    is_vertical = jnp.logical_not(is_horizontal) & (dot_hm < 0.5)
+    hv = jnp.where(is_horizontal, 0, 1).astype(jnp.int32)
+
+    coeffs = jnp.concatenate([m, jnp.reshape(d, (1,))])
+    flip_h = is_horizontal & (m[1] > 0)
+    flip_v = is_vertical & (m[0] > 0)
+    coeffs = jnp.where(flip_h | flip_v, -coeffs, coeffs)
+    return coeffs, hv, is_horizontal | is_vertical
+
+
 def _masked_pca(pts: jax.Array, w: jax.Array):
     """Weighted centroid + covariance over [N,3] with weights [N]."""
     n = jnp.maximum(jnp.sum(w), 1e-6)
@@ -133,29 +162,14 @@ def extract_planes(
         # in-plane second moments -> area (exact for uniform rectangles)
         area = 12.0 * jnp.sqrt(jnp.maximum(evals2[1] * evals2[2], 0.0))
 
-        # --- reference h/v classification (plane_segmentation.cpp:195-253) --
-        m = n_fin
-        h = horiz_normal_cam
-        is_horizontal = (
-            (jnp.abs(m[0]) - jnp.abs(h[0]) < 0.3)
-            & (jnp.abs(m[1]) - jnp.abs(h[1]) < 0.3)
-            & (jnp.abs(m[2]) - jnp.abs(h[2]) < 0.3)
+        coeffs, hv, is_h_or_v = classify_and_canonicalize(
+            n_fin, d_fin, horiz_normal_cam
         )
-        dot_hm = jnp.sum(h * m)
-        is_vertical = jnp.logical_not(is_horizontal) & (dot_hm < 0.5)
-        hv = jnp.where(is_horizontal, 0, 1).astype(jnp.int32)
-
-        coeffs = jnp.concatenate([m, d_fin[None]])
-        # canonicalization: horizontal planes get upward normals via the
-        # m[1]>0 flip (cpp:210-220); vertical via m[0]>0 (cpp:235-247)
-        flip_h = is_horizontal & (m[1] > 0)
-        flip_v = is_vertical & (m[0] > 0)
-        coeffs = jnp.where(flip_h | flip_v, -coeffs, coeffs)
 
         valid = (
             (true_count >= min_inliers)
             & (area >= min_area)
-            & (is_horizontal | is_vertical)
+            & is_h_or_v
             & (counts[best] > 0)
         )
 

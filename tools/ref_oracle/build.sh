@@ -36,3 +36,18 @@ g++ -std=c++14 -O2 -DNDEBUG \
 
 "$BUILD/ref_oracle" "$REPO/tests/golden/ref_oracle.json"
 python3 -c "import json; d=json.load(open('$REPO/tests/golden/ref_oracle.json')); print('golden OK:', sorted(d.keys()))"
+
+# ---- frontend oracle: real point_cloud_segmentation.h +
+# plane_segmentation.cpp over stubbed PCL/OpenCV ------------------------------
+g++ -std=c++14 -O2 -DNDEBUG \
+  -I "$HERE/stubs_frontend" \
+  -I "$HERE/stubs" \
+  -I "$REF_INC" \
+  -I "$TF_INC" \
+  -I "$BUILD/eigenshim" \
+  -o "$BUILD/ref_oracle_frontend" \
+  "$HERE/oracle_frontend.cpp" \
+  /root/reference/src/planar_segmentation/plane_segmentation.cpp
+
+"$BUILD/ref_oracle_frontend" "$REPO/tests/golden/ref_oracle_frontend.json"
+python3 -c "import json; d=json.load(open('$REPO/tests/golden/ref_oracle_frontend.json')); print('frontend golden OK:', sorted(d.keys()))"

@@ -1,0 +1,19 @@
+// compile-only stub (legacy path; never executed)
+#ifndef ORACLE_FE_PCL_SOR_H
+#define ORACLE_FE_PCL_SOR_H
+#include <cstdlib>
+#include <memory>
+#include <vector>
+#include "pcl/point_cloud.h"
+namespace pcl {
+template <typename PointT> class StatisticalOutlierRemoval {
+public:
+  void setInputCloud(const typename PointCloud<PointT>::Ptr &) {}
+  void setMeanK(int) {}
+  void setStddevMulThresh(double) {}
+  void setIndices(const PointIndices::Ptr &) {}
+  void filter(PointCloud<PointT> &) { std::abort(); }
+  std::shared_ptr<std::vector<int>> getIndices() { std::abort(); }
+};
+} // namespace pcl
+#endif
