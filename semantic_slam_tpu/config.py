@@ -97,11 +97,26 @@ class KeyframeConfig:
 
 @dataclasses.dataclass(frozen=True)
 class InformationConfig:
-    """Odometry-edge information matrix (information_matrix_calculator.cpp)."""
+    """Odometry-edge information matrix (information_matrix_calculator.cpp).
+
+    ``use_const_inf_matrix=False`` enables the fitness-weighted path the
+    reference declares but left dead/uninitialized (solver/information.py):
+    per-edge information interpolated from the cloud-to-cloud NN fitness of
+    consecutive keyframes. Weight parameters default to hdl_graph_slam's
+    (the upstream project the reference's calculator descends from)."""
 
     use_const_inf_matrix: bool = True
     const_stddev_x: float = 0.0667
     const_stddev_q: float = 0.0667
+    # fitness path (opt-in; reference's equivalents were never initialized)
+    var_gain_a: float = 20.0
+    min_stddev_x: float = 0.1
+    max_stddev_x: float = 5.0
+    min_stddev_q: float = 0.05
+    max_stddev_q: float = 0.2
+    fitness_score_thresh: float = 0.5
+    fitness_max_range: float = 2.0
+    fitness_samples: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1091,7 +1091,7 @@ class SlamEngine:
                         kf.odom.astype(self._npdt),
                         np.asarray(prev_odom, self._npdt),
                         has_prev,
-                        self._info6,
+                        self._edge_info6(kf),
                     )
                 kf.node_idx = self._n_poses + self._kf_base
                 self._n_poses += 1
@@ -1140,7 +1140,7 @@ class SlamEngine:
                     kf.odom.astype(self._npdt),
                     np.asarray(prev_odom, self._npdt),
                     has_prev,
-                    self._info6,
+                    self._edge_info6(kf),
                     do_opt=do_opt,
                     init_lambda=init_lam,
                     prior=self._prior_arg(),
@@ -1217,7 +1217,7 @@ class SlamEngine:
                         run[0].odom.astype(self._npdt),
                         np.asarray(prev_odom, self._npdt),
                         has_prev,
-                        self._info6,
+                        self._edge_info6(run[0]),
                     )
                 else:
                     B = 2
@@ -1398,7 +1398,7 @@ class SlamEngine:
             kf.odom.astype(npdt),
             np.asarray(prev_odom, npdt),
             has_prev,
-            self._info6,
+            self._edge_info6(kf),
             points_arg,
             valid_arg,
             cam_intr,
@@ -1540,6 +1540,48 @@ class SlamEngine:
         """The MarginalPrior for the optimize programs — None when fixed-lag
         is off, keeping those programs byte-identical to the parity build."""
         return self.prior if self.cfg.solver.fixed_lag_window > 0 else None
+
+    def _edge_info6(self, kf: KeyframeMeta):
+        """Per-edge odometry information: the constant matrix (reference
+        default, quirk 3) or — opt-in, ``use_const_inf_matrix=False`` — the
+        fitness-weighted matrix from consecutive keyframes' clouds
+        (solver/information.py; the reference's fitness branch is dead code
+        with uninitialized parameters, docs/PARITY.md). Costs one small
+        device program + scalar fetch per keyframe on the opt-in path;
+        falls back to the constant when either keyframe lacks an xyz cloud
+        (depth-image mode included)."""
+        inf = self.cfg.information
+        if inf.use_const_inf_matrix:
+            return self._info6
+        prev = self.keyframes[-1] if self.keyframes else None
+        if (
+            prev is None or prev.cloud is None or kf.cloud is None
+            or kf.depth_intr is not None or prev.depth_intr is not None
+        ):
+            return self._info6
+        from semantic_slam_tpu.solver import information as info_mod
+
+        rel = npg.pose_mul(npg.pose_inv(prev.odom), kf.odom)
+        pa, va = prev.cloud
+        pb, vb = kf.cloud
+        score = float(
+            info_mod.fitness_score(
+                jnp.asarray(np.asarray(pa, self._npdt)),
+                jnp.asarray(np.asarray(va, bool)),
+                jnp.asarray(np.asarray(pb, self._npdt)),
+                jnp.asarray(np.asarray(vb, bool)),
+                jnp.asarray(rel.astype(self._npdt)),
+                max_range=inf.fitness_max_range,
+                S=inf.fitness_samples,
+            )
+        )
+        return jax.device_put(
+            info_mod.fitness_info6(
+                score, inf.var_gain_a, inf.min_stddev_x, inf.max_stddev_x,
+                inf.min_stddev_q, inf.max_stddev_q, inf.fitness_score_thresh,
+                dtype=self._npdt,
+            )
+        )
 
     def _maybe_marginalize(self) -> None:
         """Fixed-lag trigger: once the active window holds window+chunk

@@ -1,0 +1,121 @@
+"""Fitness-weighted odometry information (solver/information.py): the
+reference's dead branch made real — weight formula, fitness score, and the
+engine opt-in wiring."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_slam_tpu.solver import information as info_mod
+
+
+class TestWeight:
+    def test_formula_verbatim(self):
+        """information_matrix_calculator.hpp:20-24 by hand."""
+        a, thresh, lo, hi, x = 20.0, 0.5, 0.01, 25.0, 0.3
+        y = (1.0 - math.exp(-a * x)) / (1.0 - math.exp(-a * thresh))
+        assert info_mod.weight(a, thresh, lo, hi, x) == lo + (hi - lo) * y
+
+    def test_endpoints(self):
+        assert info_mod.weight(20.0, 0.5, 1.0, 9.0, 0.0) == 1.0
+        np.testing.assert_allclose(info_mod.weight(20.0, 0.5, 1.0, 9.0, 0.5), 9.0)
+
+    def test_info6_monotone_in_fitness(self):
+        """Worse fitness (larger score) -> larger variance -> LESS
+        information; score clamps at the threshold (hdl's std::min)."""
+        kw = dict(
+            var_gain_a=20.0, min_stddev_x=0.1, max_stddev_x=5.0,
+            min_stddev_q=0.05, max_stddev_q=0.2, fitness_score_thresh=0.5,
+        )
+        good = info_mod.fitness_info6(0.001, **kw)
+        bad = info_mod.fitness_info6(0.4, **kw)
+        sat = info_mod.fitness_info6(7.0, **kw)  # clamped to thresh
+        assert good[0, 0] > bad[0, 0] > 0
+        assert good[3, 3] > bad[3, 3] > 0
+        np.testing.assert_allclose(sat, info_mod.fitness_info6(0.5, **kw))
+        # fitness branch divides by VARIANCE (not the const path's stddev)
+        np.testing.assert_allclose(good[0, 0], 1.0 / info_mod.weight(
+            20.0, 0.5, 0.1**2, 5.0**2, 0.001), rtol=1e-6)
+
+
+class TestFitnessScore:
+    def _cloud(self, rng, n=4000, shift=0.0):
+        pts = rng.uniform(-1, 1, size=(n, 3)) + [0, 0, 2.0]
+        return pts + [shift, 0, 0]
+
+    def test_identical_clouds_near_zero(self):
+        rng = np.random.default_rng(0)
+        pts = self._cloud(rng)
+        ident = jnp.asarray([0, 0, 0, 1, 0, 0, 0.0])
+        s = float(info_mod.fitness_score(
+            jnp.asarray(pts, jnp.float64), jnp.ones(len(pts), bool),
+            jnp.asarray(pts, jnp.float64), jnp.ones(len(pts), bool), ident,
+        ))
+        assert s < 1e-9
+
+    def test_relpose_compensates_motion(self):
+        """Cloud b seen from a pose moved by t: transforming by the true
+        relative pose must beat not transforming."""
+        rng = np.random.default_rng(1)
+        pts_world = self._cloud(rng)
+        t = np.array([0.4, 0.1, 0.0])
+        pts_a = pts_world
+        pts_b = pts_world - t  # camera moved +t: points shift -t in cam frame
+        # b's points transformed by rel must land on a's: rel * (w - t) = w
+        rel = jnp.asarray(np.concatenate([t, [1, 0, 0, 0]]), jnp.float64)
+        ident = jnp.asarray([0, 0, 0, 1, 0, 0, 0.0])
+        va = jnp.ones(len(pts_a), bool)
+        s_good = float(info_mod.fitness_score(
+            jnp.asarray(pts_a, jnp.float64), va,
+            jnp.asarray(pts_b, jnp.float64), va, rel,
+        ))
+        s_bad = float(info_mod.fitness_score(
+            jnp.asarray(pts_a, jnp.float64), va,
+            jnp.asarray(pts_b, jnp.float64), va, ident,
+        ))
+        assert s_good < s_bad
+
+    def test_no_valid_points_returns_max(self):
+        ident = jnp.asarray([0, 0, 0, 1, 0, 0, 0.0])
+        pts = jnp.zeros((100, 3), jnp.float64)
+        none = jnp.zeros(100, bool)
+        s = float(info_mod.fitness_score(pts, none, pts, none, ident,
+                                         max_range=2.0))
+        np.testing.assert_allclose(s, 4.0)
+
+
+class TestEngineOptIn:
+    def test_fitness_edges_change_information(self):
+        """A session with use_const_inf_matrix=False runs end to end and the
+        resulting odometry-edge information differs from the constant
+        matrix (and stays SPD/diagonal)."""
+        import dataclasses
+
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+        from tests.test_scenarios import scenario_config
+
+        log = synth_mod.make_synthetic_log(
+            seed=5, n_steps=80, sensor_every=2, drift_noise=0.006, scene="lab"
+        )
+        cfg = scenario_config()
+        cfg = cfg.replace(
+            information=dataclasses.replace(
+                cfg.information, use_const_inf_matrix=False
+            )
+        )
+        eng = SlamEngine(cfg)
+        replay_mod.replay(log, eng)
+        assert len(eng.keyframes) > 3
+        n_odom = int(eng.graph.num_odom)
+        assert n_odom > 2
+        infos = np.asarray(eng.graph.odom_info[:n_odom])
+        const = np.asarray(eng._info6)
+        assert np.all(np.isfinite(infos))
+        # diagonal, positive
+        diags = np.einsum("eii->ei", infos)
+        assert (diags > 0).all()
+        # at least one edge got a non-constant (fitness-derived) matrix
+        assert not np.allclose(infos, const[None])
