@@ -198,6 +198,11 @@ def cmd_run(args) -> None:
 
         save_checkpoint(os.path.join(args.out, "checkpoint.npz"), engine)
 
+    if args.dump_keyframes:
+        from semantic_slam_tpu.io.dump import dump_keyframes
+
+        dump_keyframes(os.path.join(args.out, "keyframes"), engine)
+
     grid = None
     if args.voxel:
         import jax.numpy as jnp
@@ -411,6 +416,11 @@ def main(argv=None) -> None:
     pr.add_argument("--out", default="results")
     pr.add_argument("--save-graph", action="store_true")
     pr.add_argument("--checkpoint", action="store_true")
+    pr.add_argument(
+        "--dump-keyframes", action="store_true",
+        help="per-keyframe text dumps in the KeyFrame::dump format "
+        "(keyframe.cpp:22-40; the reference declares but never calls it)",
+    )
     pr.add_argument(
         "--resume", default="",
         help="engine checkpoint .npz to restore before replaying (continue "
