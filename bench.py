@@ -101,19 +101,26 @@ def tpu_ms_per_iter():
     # tridiag PCR preconditioner halves CG iterations but its log2(K) apply
     # levels cost more than they save single-chip — it is the multi-chip
     # option (fewer CG steps = fewer psum round trips), not the 1-chip one.
+    # The ELL assembly (O(K*R) slot gathers instead of O(E*K) one-hot
+    # matmuls — solver/assembly.py) is the recommended TPU path and the
+    # headline; the one-hot variant stays as an in-run A/B reference.
+    from __graft_entry__ import _ell_rows_for
+
+    ell_rows = _ell_rows_for(K, E2)
     t_start = time.perf_counter()
     pcg32 = measure(
-        "pcg32",
+        "pcg32_ell",
         lambda g: pcg_mod.lm_optimize_pcg(
-            g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+            g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+            ell_rows=ell_rows,
         ),
     )
     best = pcg32
     if time.perf_counter() - t_start < 300.0:
         pcg = measure(
-            "pcg64",
+            "pcg32_onehot",
             lambda g: pcg_mod.lm_optimize_pcg(
-                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=64
+                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
             ),
         )
         best = min(best, pcg)
@@ -144,7 +151,8 @@ def tpu_ms_per_iter():
 
         def traced():
             out, _ = pcg_mod.lm_optimize_pcg(
-                g_t, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+                g_t, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+                ell_rows=ell_rows,
             )
             _ = float(out.poses[0, 0])
 
@@ -153,7 +161,7 @@ def tpu_ms_per_iter():
         if durs:
             device = sum(durs) / ITERS
             print(
-                f"[bench] pcg32 device lane: {device:.3f} ms/iter",
+                f"[bench] pcg32_ell device lane: {device:.3f} ms/iter",
                 file=sys.stderr,
             )
     except Exception as e:  # pragma: no cover - profiler flake

@@ -133,6 +133,7 @@ class Tracer:
 _CHIP_PEAKS = {
     "v4": (275e12, 1.23e12),
     "v5e": (197e12, 0.82e12),
+    "v5 lite": (197e12, 0.82e12),  # device_kind string for v5e chips
     "v5p": (459e12, 2.77e12),
     "v6e": (918e12, 1.64e12),
     "v6 lite": (918e12, 1.64e12),
@@ -189,7 +190,7 @@ def solver_device_times(tracer: Tracer):
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_graph
+    from __graft_entry__ import _build_graph, _ell_rows_for
     from semantic_slam_tpu.solver import pcg as pcg_mod
 
     ITERS = 8
@@ -200,12 +201,14 @@ def solver_device_times(tracer: Tracer):
                 K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05,
                 seed=SEED_BASE + 13 * K + s,
             )
-            for s in range(2)
+            for s in range(3)
         ]
+        ell_rows = _ell_rows_for(K, E2)
 
         def solve(g):
             out, stats = pcg_mod.lm_optimize_pcg(
-                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+                ell_rows=ell_rows,
             )
             return float(out.poses[0, 0])  # force a real fetch
 
@@ -221,12 +224,30 @@ def solver_device_times(tracer: Tracer):
             "device_ms_total": round(dev_ms, 3),
             "wall_ms_total": round(wall_ms, 1),
         }
+        # A/B: the one-hot matmul assembly the ELL layout replaced
+        # (solver/assembly.py) — same graph family, fresh seed
+        try:
+            def solve_oh(g):
+                out, _ = pcg_mod.lm_optimize_pcg(
+                    g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+                )
+                return float(out.poses[0, 0])
+
+            solve_oh(graphs[0])
+            mods_oh = tracer.trace(lambda: solve_oh(graphs[2]))
+            oh_ms = sum(mods_oh.get("jit_lm_optimize_pcg", []))
+            results[f"K{K}"]["onehot_device_ms_per_iter"] = round(
+                oh_ms / ITERS, 4
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"[device] one-hot A/B skipped: {e}", file=sys.stderr)
         # roofline: XLA's own flop/byte accounting over the traced program
         # vs the chip's peak — names the wall (MXU vs HBM) at each K
         try:
             flops, bytes_acc = cost_numbers(
                 pcg_mod.lm_optimize_pcg, graphs[1],
                 max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+                ell_rows=ell_rows,
             )
             if dev_ms > 0:
                 results[f"K{K}"]["roofline"] = roofline_row(
@@ -247,8 +268,9 @@ def solver_device_times(tracer: Tracer):
             f"({dev_ms:.2f} ms device vs {wall_ms:.0f} ms wall incl. tunnel)"
             + (
                 f" | {rl['gflops']} GF, {rl['achieved_tflops']} TF/s, "
-                f"{rl['pct_peak_f32']}% f32-peak, {rl['pct_peak_hbm']}% HBM "
-                f"-> {rl['bound']}-bound"
+                f"{rl.get('pct_peak_f32', '?')}% f32-peak, "
+                f"{rl.get('pct_peak_hbm', '?')}% HBM "
+                f"-> {rl.get('bound', '?')}-bound"
                 if rl
                 else ""
             ),

@@ -273,6 +273,7 @@ _PROC_STATICS = (
 _OPT_STATICS = (
     "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
     "pcg_precond", "robust_kind", "robust_delta", "need_marginals",
+    "ell_rows",
 )
 
 
@@ -458,6 +459,7 @@ def _optimize_tick_impl(
     init_lambda=0.0,
     prior=None,
     need_marginals: bool = True,
+    ell_rows: tuple | None = None,
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
@@ -480,6 +482,7 @@ def _optimize_tick_impl(
                 robust_kind=robust_kind, robust_delta=robust_delta,
                 init_lambda=init_lambda, precond_kind=pcg_precond,
                 prior=prior, with_marginals=need_marginals,
+                ell_rows=ell_rows,
             )
             (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
         elif prior is not None:
@@ -577,6 +580,7 @@ def _tick_fused_detect(
     robust_kind,
     robust_delta,
     need_marginals=True,
+    ell_rows=None,
     do_opt=True,
     init_lambda=0.0,
     prior=None,
@@ -597,7 +601,7 @@ def _tick_fused_detect(
         linear_solver=linear_solver, pcg_iters=pcg_iters,
         pcg_precond=pcg_precond,
         robust_kind=robust_kind, robust_delta=robust_delta,
-        need_marginals=need_marginals, do_opt=do_opt,
+        need_marginals=need_marginals, ell_rows=ell_rows, do_opt=do_opt,
         init_lambda=init_lambda, prior=prior,
     )
     return graph, table, marginals, dets, info
@@ -744,6 +748,7 @@ def _process_keyframe_planes(
 @partial(jax.jit, static_argnames=(
     "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
     "pcg_precond", "robust_kind", "robust_delta", "need_marginals",
+    "ell_rows",
 ))
 def _optimize_tick_planes(
     graph,
@@ -762,6 +767,7 @@ def _optimize_tick_planes(
     init_lambda=0.0,
     prior=None,
     need_marginals: bool = True,
+    ell_rows: tuple | None = None,
 ):
     """Planar-patch tick: joint pose+point+plane Schur LM (dense Cholesky or
     matrix-free PCG per ``linear_solver``), then the same marginal recovery +
@@ -781,6 +787,7 @@ def _optimize_tick_planes(
                 robust_kind=robust_kind, robust_delta=robust_delta,
                 precond_kind=pcg_precond, init_lambda=init_lambda,
                 prior=prior, with_marginals=need_marginals,
+                ell_rows=ell_rows,
             )
             # matrix-free recovery from the final joint point+plane blocks:
             # no [6K,6K] factor on the planes scaling path either
@@ -1036,6 +1043,19 @@ class SlamEngine:
     # the tick (semantic_graph_slam.cpp:58-102)
     # ------------------------------------------------------------------
 
+    def _ell_rows(self, planes: bool = False) -> tuple:
+        """Static per-pose edge-count bounds for the ELL assembly
+        (assembly.build_slots contract): the engine appends edges in
+        keyframe order — one odometry edge per side, and at most
+        ``max_detections_per_frame * max_planes_per_detection`` landmark
+        (and plane) edges per keyframe — and fixed-lag compaction preserves
+        both invariants (stable partition + constant shift)."""
+        mpd = (
+            self.cfg.capacity.max_detections_per_frame
+            * self.cfg.segmentation.max_planes_per_detection
+        )
+        return (1, 1, mpd, mpd) if planes else (1, 1, mpd)
+
     def _opt_statics(self) -> dict:
         return dict(
             max_iterations=self.cfg.solver.max_iterations,
@@ -1049,6 +1069,7 @@ class SlamEngine:
             # eq-gating never reads landmark covariances — skip the marginal
             # recovery pass (a dense Schur-factor solve) on those profiles
             need_marginals=bool(self.cfg.association.use_maha_dist),
+            ell_rows=self._ell_rows(),
         )
 
     def run(self) -> bool:
@@ -1113,6 +1134,7 @@ class SlamEngine:
                 robust_kind=self.cfg.solver.robust_kernel,
                 robust_delta=self.cfg.solver.robust_delta,
                 need_marginals=bool(self.cfg.association.use_maha_dist),
+                ell_rows=self._ell_rows(planes=True),
                 do_opt=do_opt,
                 init_lambda=init_lam,
             )
@@ -1333,6 +1355,7 @@ class SlamEngine:
                 robust_kind=self.cfg.solver.robust_kernel,
                 robust_delta=self.cfg.solver.robust_delta,
                 need_marginals=bool(self.cfg.association.use_maha_dist),
+                ell_rows=self._ell_rows(planes=True),
                 do_opt=np.bool_(True),
             )
         else:

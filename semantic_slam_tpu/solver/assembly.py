@@ -26,12 +26,24 @@ import jax.numpy as jnp
 _ENV_FORCED = os.environ.get("SLAM_ASSEMBLY", "")
 
 
-def resolve_assembly(kind: str) -> str:
-    if kind != "auto":
-        return kind
-    if _ENV_FORCED in ("matmul", "scatter"):
-        return _ENV_FORCED
-    return "matmul" if jax.default_backend() == "tpu" else "scatter"
+def resolve_assembly(kind: str, ell_ok: bool = False) -> str:
+    """Resolve 'auto' to a concrete assembly kind for this backend.
+
+    ``ell_ok`` says the caller can honor the ELL gather layout (it passed
+    ``ell_rows`` and its graph satisfies the sorted/bounded contract —
+    see ``build_slots``). On TPU, 'auto' prefers 'ell' when available: it
+    does O(K*R) work where the one-hot matmuls do O(E*K). A requested/forced
+    'ell' without ``ell_ok`` degrades to the backend default rather than
+    computing garbage."""
+    if kind == "auto":
+        kind = _ENV_FORCED or (
+            ("ell" if ell_ok else "matmul")
+            if jax.default_backend() == "tpu"
+            else "scatter"
+        )
+    if kind == "ell" and not ell_ok:
+        kind = "matmul" if jax.default_backend() == "tpu" else "scatter"
+    return kind
 
 
 def onehot(idx: jax.Array, n: int, dtype) -> jax.Array:
@@ -98,3 +110,54 @@ def diag_embed_blocks(D: jax.Array) -> jax.Array:
     K = D.shape[0]
     eye = jnp.eye(K, dtype=D.dtype)
     return D[:, :, None, :] * eye[:, None, :, None]
+
+
+# ---------------------------------------------------------------------------
+# ELL gather layout: O(K*R) segment sums for sorted, bounded edge indices
+# ---------------------------------------------------------------------------
+#
+# The one-hot matmuls above run near MXU f32 peak but do O(E*K) work — at
+# K=4096/E=16k that is ~100x the FLOPs the segment sums actually need, and
+# it dominates both the CG matvec and the per-iteration linearization
+# (measured: benchmarks/device_time_bench.py roofline). The SLAM engine's
+# graphs satisfy two structural invariants the generic path ignores:
+#
+#   * edge arrays are appended in keyframe order, so the pose index of the
+#     real (masked-prefix) edges is NONDECREASING — this survives fixed-lag
+#     compaction (solver/fixed_lag.py uses a stable partition and subtracts
+#     a constant) and multisession concatenation;
+#   * each keyframe ingests at most ``max_detections_per_frame *
+#     max_planes_per_detection`` landmark edges and one odometry edge per
+#     side, so the per-pose edge count has a STATIC config bound R.
+#
+# Under that contract every segment sum becomes a [K, R] GATHER + sum —
+# O(K*R) elements instead of O(E*K) multiply-adds, turning the solver's
+# dominant cost into a minor one. Empty slots carry -1 and read a zero pad
+# row, so capacity padding and ragged counts cost nothing.
+
+
+def build_slots(idx: jax.Array, mask: jax.Array, n: int, r: int) -> jax.Array:
+    """[n, r] ELL slot table for a sorted, bounded segment index vector.
+
+    ``idx[e]`` names the output row of edge ``e``; ``mask`` marks real
+    edges (a PREFIX — capacity padding is a suffix). Requires the masked
+    prefix of ``idx`` nondecreasing with at most ``r`` entries per value
+    (the caller's contract; violations silently drop edges ``r+1...``).
+    Returns slot positions into the edge axis, or -1 for empty slots.
+    """
+    key = jnp.where(mask, idx, n).astype(jnp.int32)  # pad tail sorts last
+    rows = jnp.arange(n, dtype=jnp.int32)
+    lo = jnp.searchsorted(key, rows, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(key, rows, side="right").astype(jnp.int32)
+    slots = lo[:, None] + jnp.arange(r, dtype=jnp.int32)[None, :]
+    return jnp.where(slots < hi[:, None], slots, -1)
+
+
+def slot_sum(vals: jax.Array, slots: jax.Array) -> jax.Array:
+    """Segment-sum ``vals`` [E, ...] into [n, ...] through an ELL slot
+    table (``build_slots``): a gather of ``n*r`` rows + a sum — no scatter,
+    no [E, n] one-hot. Empty (-1) slots read a zero pad row."""
+    pad = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+    vp = jnp.concatenate([vals, pad], axis=0)
+    safe = jnp.where(slots >= 0, slots, vals.shape[0])
+    return vp[safe].sum(axis=1)

@@ -72,6 +72,35 @@ class OneHots(NamedTuple):
     Ol: jax.Array  # [E2, L]
 
 
+class EllLayout(NamedTuple):
+    """Per-shard ELL slot tables (assembly.build_slots) — the O(K*R)
+    replacement for the O(E*K) one-hot matmuls on pose-side segment sums.
+
+    Valid when the shard's real edges are sorted by pose index with a
+    static per-pose bound (the engine's construction order guarantees it;
+    see assembly.py). The landmark-side scatter keeps a one-hot ``Ol`` —
+    per-LANDMARK edge counts are unbounded (a landmark may be re-observed
+    by arbitrarily many keyframes), but that sum is O(E*L) with L bounded
+    by the semantic-object table, not the trajectory. ``pk_slots`` (planes
+    path only) addresses the MERGED observation-edge axis (point rows
+    [0,E2) then plane rows [E2,E2+E3)); empty slots are -1 everywhere.
+    """
+
+    oi_slots: jax.Array  # [K, R1] into the odometry edge axis
+    oj_slots: jax.Array  # [K, R2]
+    lk_slots: jax.Array  # [K, R3] into the (merged) observation edge axis
+    Ol: jax.Array  # [E2(+E3), L(+Pl)] one-hot
+    pk_slots: jax.Array | None = None  # [K, R4], merged-axis positions
+
+
+def _merged_obs_slots(ell: EllLayout) -> jax.Array:
+    """lk_slots (+ pk_slots) as ONE [K, R3(+R4)] table over the merged
+    observation-edge axis — both already address merged positions."""
+    if ell.pk_slots is None:
+        return ell.lk_slots
+    return jnp.concatenate([ell.lk_slots, ell.pk_slots], axis=1)
+
+
 def build_edge_blocks(
     poses,
     landmarks,
@@ -89,6 +118,7 @@ def build_edge_blocks(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     oh: OneHots | None = None,
+    ell: EllLayout | None = None,
 ) -> EdgeBlocks:
     K = poses.shape[0]
     L = landmarks.shape[0]
@@ -127,7 +157,26 @@ def build_edge_blocks(
     g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
     chi_l = chi_l_rho
 
-    if oh is not None:
+    if ell is not None:
+        # ELL slot gathers: O(K*R) pose-side segment sums (assembly.py).
+        # lk_slots addresses the merged observation axis, but point-edge
+        # positions coincide with this function's [0, E2) rows.
+        from semantic_slam_tpu.solver.assembly import slot_sum
+
+        Ol = ell.Ol[: lme_k.shape[0], :L]
+        gp = (
+            slot_sum(g_i, ell.oi_slots)
+            + slot_sum(g_j, ell.oj_slots)
+            + slot_sum(g_k, ell.lk_slots)
+        )
+        gl = jnp.einsum("el,ei->li", Ol, g_l)
+        Hll = jnp.einsum("el,eij->lij", Ol, H_ll_e)
+        diag = (
+            slot_sum(H_ii, ell.oi_slots)
+            + slot_sum(H_jj, ell.oj_slots)
+            + slot_sum(H_kk, ell.lk_slots)
+        )
+    elif oh is not None:
         # segment sums as MXU matmuls (solver/assembly.py rationale); the
         # one-hot slices cover exactly this function's point edges
         Oi, Oj = oh.Oi, oh.Oj
@@ -215,17 +264,42 @@ def apply_prior_blocks_planes(
 def reduced_matvec(
     eb: EdgeBlocks, Ainv: jax.Array, lam, pose_free, x: jax.Array,
     allreduce: Callable, prior=None, oh: OneHots | None = None,
+    ell: EllLayout | None = None,
 ) -> jax.Array:
     """Apply the damped reduced operator to x [K,6] (free rows only).
 
-    With ``oh``, every gather/segment-sum runs as an MXU matmul instead of
-    a serialized TPU scatter — the dominant cost of a CG step otherwise."""
+    With ``ell``, pose-side segment sums run as O(K*R) ELL slot gathers and
+    node gathers as plain row gathers; with ``oh``, everything runs as MXU
+    one-hot matmuls (O(E*K) work, but no serialized TPU scatters); with
+    neither, native gathers/scatters (the CPU path)."""
     K = x.shape[0]
     L = Ainv.shape[0]
     dtype = x.dtype
     x = x * pose_free[:, None]
 
-    if oh is not None:
+    if ell is not None:
+        from semantic_slam_tpu.solver.assembly import slot_sum
+
+        xi, xj, xk = x[eb.oi], x[eb.oj], x[eb.lk]
+        t = allreduce(
+            jnp.einsum("el,ej->lj", ell.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, xk))
+        )
+        z = jnp.einsum("lij,lj->li", Ainv, t)  # replicated
+        vi = jnp.einsum("eij,ej->ei", eb.H_ii, xi) + jnp.einsum(
+            "eij,ej->ei", eb.H_ij, xj
+        )
+        vj = jnp.einsum("eji,ej->ei", eb.H_ij, xi) + jnp.einsum(
+            "eij,ej->ei", eb.H_jj, xj
+        )
+        vk = jnp.einsum("eij,ej->ei", eb.H_kk, xk) - jnp.einsum(
+            "eij,ej->ei", eb.W_kl, z[eb.ll]
+        )
+        u = allreduce(
+            slot_sum(vi, ell.oi_slots)
+            + slot_sum(vj, ell.oj_slots)
+            + slot_sum(vk, _merged_obs_slots(ell))
+        )
+    elif oh is not None:
         xi, xj, xk = oh.Oi @ x, oh.Oj @ x, oh.Ok @ x
         t = allreduce(
             jnp.einsum("el,ej->lj", oh.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, xk))
@@ -288,6 +362,7 @@ def pcg_solve(
     precond: Callable | None = None,
     prior=None,
     oh: OneHots | None = None,
+    ell: EllLayout | None = None,
 ) -> jax.Array:
     """Preconditioned CG on the reduced camera system (block-Jacobi by
     default; pass ``precond`` for the block-tridiagonal chain variant)."""
@@ -317,7 +392,9 @@ def pcg_solve(
 
     def body(carry):
         x, r, p, rz, it = carry
-        Ap = reduced_matvec(eb, Ainv, lam, pf, p, allreduce, prior=prior, oh=oh)
+        Ap = reduced_matvec(
+            eb, Ainv, lam, pf, p, allreduce, prior=prior, oh=oh, ell=ell
+        )
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -341,6 +418,7 @@ def schur_pcg_step(
     precond_kind: str = "jacobi",
     prior=None,
     oh: OneHots | None = None,
+    ell: EllLayout | None = None,
 ):
     """One damped Schur-eliminated solve on (possibly plane-extended) edge
     blocks: returns (dp [K,6], db [B,3]) where B = number of 3-dof landmark
@@ -376,7 +454,13 @@ def schur_pcg_step(
     gl = eb.gl * lmf[:, None]
     # b = -(gp - W A^-1 gl)
     y = jnp.einsum("lij,lj->li", Ainv, gl)
-    if oh is not None:
+    if ell is not None:
+        from semantic_slam_tpu.solver.assembly import slot_sum
+
+        c_loc = slot_sum(
+            jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll]), _merged_obs_slots(ell)
+        )
+    elif oh is not None:
         c_loc = jnp.einsum(
             "ek,ei->ki", oh.Ok, jnp.einsum("eij,ej->ei", eb.W_kl, oh.Ol @ y)
         )
@@ -387,11 +471,17 @@ def schur_pcg_step(
     b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
     dp = pcg_solve(
         eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters, precond=precond,
-        prior=prior, oh=oh,
+        prior=prior, oh=oh, ell=ell,
     )
     # back-substitute: db = Ainv(-gl - W^T dp)
     dpk = (dp * pf[:, None])
-    if oh is not None:
+    if ell is not None:
+        t_loc = jnp.einsum(
+            "el,ej->lj",
+            ell.Ol,
+            jnp.einsum("eij,ei->ej", eb.W_kl, dpk[eb.lk]),
+        )
+    elif oh is not None:
         t_loc = jnp.einsum(
             "el,ej->lj", oh.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, oh.Ok @ dpk)
         )
@@ -421,20 +511,35 @@ def run_lm_loop_pcg(
     precond_kind: str = "jacobi",
     prior=None,
     assembly: str = "auto",
+    ell_rows: tuple | None = None,
 ):
     """Nielsen-damped LM with the matrix-free PCG inner solver.
     ``init_lambda > 0`` (traced) warm-starts the damping. ``prior`` is a
     fixed-lag MarginalPrior folded into every linearization (replicated).
-    ``assembly='matmul'`` (auto on TPU) runs every gather/segment-sum as a
-    one-hot matmul — edge indices never change inside the loop, so the
-    selection matrices are built once per solve."""
-    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
+    ``assembly`` picks the segment-sum strategy (assembly.resolve_assembly);
+    on TPU, 'auto' prefers the O(K*R) ELL layout whenever the caller passes
+    ``ell_rows`` = (R_oi, R_oj, R_lk) static per-pose edge-count bounds
+    (valid for engine-built graphs — see assembly.build_slots contract).
+    Layouts are built once per solve — edge indices never change inside
+    the loop."""
+    from semantic_slam_tpu.solver.assembly import (
+        build_slots, onehot, resolve_assembly,
+    )
 
     dtype = poses.dtype
     K = poses.shape[0]
     L = landmarks.shape[0]
     oh = None
-    if resolve_assembly(assembly) == "matmul":
+    ell = None
+    kind = resolve_assembly(assembly, ell_ok=ell_rows is not None)
+    if kind == "ell":
+        ell = EllLayout(
+            oi_slots=build_slots(edge_args[0], edge_args[4], K, ell_rows[0]),
+            oj_slots=build_slots(edge_args[1], edge_args[4], K, ell_rows[1]),
+            lk_slots=build_slots(edge_args[5], edge_args[9], K, ell_rows[2]),
+            Ol=onehot(edge_args[6], L, dtype),
+        )
+    elif kind == "matmul":
         oh = OneHots(
             Oi=onehot(edge_args[0], K, dtype),
             Oj=onehot(edge_args[1], K, dtype),
@@ -445,7 +550,7 @@ def run_lm_loop_pcg(
     def build(p, l):
         eb = build_edge_blocks(
             p, l, *edge_args, allreduce, robust_kind=robust_kind,
-            robust_delta=robust_delta, oh=oh,
+            robust_delta=robust_delta, oh=oh, ell=ell,
         )
         if prior is not None:
             eb = apply_prior_blocks(eb, prior, p, l)
@@ -465,7 +570,7 @@ def run_lm_loop_pcg(
     def solve(eb, lam):
         return schur_pcg_step(
             eb, lam, pose_free, lm_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind, prior=prior, oh=oh,
+            precond_kind=precond_kind, prior=prior, oh=oh, ell=ell,
         )
 
     def cond(carry):
@@ -635,28 +740,42 @@ def _edge_args(g: GraphState):
     )
 
 
-@partial(jax.jit, static_argnames=("assembly",))
+@partial(jax.jit, static_argnames=("assembly", "ell_rows"))
 def landmark_marginals_graph(
-    g: GraphState, prior=None, assembly: str = "auto"
+    g: GraphState, prior=None, assembly: str = "auto",
+    ell_rows: tuple | None = None,
 ) -> jax.Array:
     """Matrix-free marginals at the CURRENT graph estimate (fresh edge-block
     build) — the PCG analog of ``lm.landmark_marginals`` for on-demand
     recovery (e.g. exporting covariances on profiles whose ticks skip it)."""
-    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
+    from semantic_slam_tpu.solver.assembly import (
+        build_slots, onehot, resolve_assembly,
+    )
 
     pose_free, lm_free = _free_masks(g)
     edge_args = _edge_args(g)
+    K = g.poses.shape[0]
+    L = g.landmarks.shape[0]
     oh = None
-    if resolve_assembly(assembly) == "matmul":
-        K = g.poses.shape[0]
-        L = g.landmarks.shape[0]
+    ell = None
+    kind = resolve_assembly(assembly, ell_ok=ell_rows is not None)
+    if kind == "ell":
+        ell = EllLayout(
+            oi_slots=build_slots(edge_args[0], edge_args[4], K, ell_rows[0]),
+            oj_slots=build_slots(edge_args[1], edge_args[4], K, ell_rows[1]),
+            lk_slots=build_slots(edge_args[5], edge_args[9], K, ell_rows[2]),
+            Ol=onehot(edge_args[6], L, g.poses.dtype),
+        )
+    elif kind == "matmul":
         oh = OneHots(
             Oi=onehot(edge_args[0], K, g.poses.dtype),
             Oj=onehot(edge_args[1], K, g.poses.dtype),
             Ok=onehot(edge_args[5], K, g.poses.dtype),
             Ol=onehot(edge_args[6], L, g.poses.dtype),
         )
-    eb = build_edge_blocks(g.poses, g.landmarks, *edge_args, lambda x: x, oh=oh)
+    eb = build_edge_blocks(
+        g.poses, g.landmarks, *edge_args, lambda x: x, oh=oh, ell=ell
+    )
     if prior is not None:
         eb = apply_prior_blocks(eb, prior, g.poses, g.landmarks)
     return landmark_marginals_mf(eb, pose_free, lm_free, prior=prior)
@@ -667,7 +786,7 @@ def landmark_marginals_graph(
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
         "robust_kind", "robust_delta", "precond_kind", "assembly",
-        "with_marginals",
+        "with_marginals", "ell_rows",
     ),
 )
 def lm_optimize_pcg(
@@ -683,19 +802,21 @@ def lm_optimize_pcg(
     prior=None,
     assembly: str = "auto",
     with_marginals: bool = False,
+    ell_rows: tuple | None = None,
 ):
     """Single-chip matrix-free LM (drop-in for lm_optimize).
 
     ``with_marginals=True`` additionally returns landmark marginals computed
     matrix-free from the loop's final accepted edge blocks (prior included
-    when one is passed) — no dense [6K,6K] factor on any maha+pcg tick."""
+    when one is passed) — no dense [6K,6K] factor on any maha+pcg tick.
+    ``ell_rows`` enables the O(K*R) ELL assembly (run_lm_loop_pcg)."""
     pose_free, lm_free = _free_masks(g)
     poses, landmarks, stats, eb_f = run_lm_loop_pcg(
         g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
         lambda x: x, max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
         init_lambda=init_lambda, precond_kind=precond_kind, prior=prior,
-        assembly=assembly,
+        assembly=assembly, ell_rows=ell_rows,
     )
     run = g.num_edges() >= min_edges
     g = g._replace(
@@ -729,13 +850,14 @@ def build_edge_blocks_with_planes(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     oh: OneHots | None = None,
+    ell: EllLayout | None = None,
 ) -> EdgeBlocks:
     """Point edge blocks + SE3-plane edge blocks merged into ONE landmark
     block system: plane blocks are 3-dof (2 normal-tangent + offset) exactly
     like point blocks, so they append at indices ``L..L+Pl`` and the reduced
     camera operator/preconditioner are reused untouched (the matrix-free
-    analog of ``graph/planes.linearize_with_planes``). ``oh`` holds MERGED
-    selection matrices (point rows first, then plane rows)."""
+    analog of ``graph/planes.linearize_with_planes``). ``oh`` / ``ell``
+    hold MERGED selections (point rows first, then plane rows)."""
     from semantic_slam_tpu.graph.planes import _plane_edge_jac
 
     K = poses.shape[0]
@@ -745,7 +867,7 @@ def build_edge_blocks_with_planes(
 
     eb = build_edge_blocks(
         poses, landmarks, *edge_args, allreduce,
-        robust_kind=robust_kind, robust_delta=robust_delta, oh=oh,
+        robust_kind=robust_kind, robust_delta=robust_delta, oh=oh, ell=ell,
     )
 
     pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
@@ -766,7 +888,19 @@ def build_edge_blocks_with_planes(
     g_p = jnp.einsum("eia,ea->ei", JpT_O, r_p)
     chi_p = chi_p_rho
 
-    if oh is not None:
+    if ell is not None:
+        # plane rows of the merged layout: pk_slots holds MERGED positions
+        # [E2, E2+E3) — shift to this function's local [0, E3) plane rows
+        from semantic_slam_tpu.solver.assembly import slot_sum
+
+        E2 = edge_args[5].shape[0]
+        local = jnp.where(ell.pk_slots >= 0, ell.pk_slots - E2, -1)
+        Opl = ell.Ol[E2:, L:]  # [E3, Pl]
+        Hll_p = jnp.einsum("ep,eij->pij", Opl, H_pp)
+        gl_p = jnp.einsum("ep,ei->pi", Opl, g_p)
+        gp_add = slot_sum(g_k, local)
+        diag_add = slot_sum(H_kk, local)
+    elif oh is not None:
         E2 = edge_args[5].shape[0]
         Opk = oh.Ok[E2:]  # [E3, K]
         Opl = oh.Ol[E2:, L:]  # [E3, Pl]
@@ -818,12 +952,17 @@ def run_lm_loop_pcg_planes(
     init_lambda=0.0,
     prior=None,
     assembly: str = "auto",
+    ell_rows: tuple | None = None,
 ):
     """Nielsen-damped LM over poses + point landmarks + plane landmarks with
     the matrix-free PCG inner solver (scaling-path analog of
     ``graph/planes.lm_optimize_with_planes``). ``prior`` (fixed-lag
-    MarginalPrior incl. plane part) is folded into every linearization."""
-    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
+    MarginalPrior incl. plane part) is folded into every linearization.
+    ``ell_rows`` = (R_oi, R_oj, R_lk, R_pe) enables the O(K*R) ELL
+    assembly; the 4th entry bounds plane edges per keyframe."""
+    from semantic_slam_tpu.solver.assembly import (
+        build_slots, onehot, resolve_assembly,
+    )
     from semantic_slam_tpu.solver.plane_ba import plane_retract
 
     dtype = poses.dtype
@@ -834,7 +973,22 @@ def run_lm_loop_pcg_planes(
     pe_k, pe_p = plane_args[0], plane_args[1]
 
     oh = None
-    if resolve_assembly(assembly) == "matmul":
+    ell = None
+    ell_ok = ell_rows is not None and len(ell_rows) >= 4
+    kind = resolve_assembly(assembly, ell_ok=ell_ok)
+    if kind == "ell":
+        E2 = edge_args[5].shape[0]
+        pk = build_slots(pe_k, plane_args[4], K, ell_rows[3])
+        ell = EllLayout(
+            oi_slots=build_slots(edge_args[0], edge_args[4], K, ell_rows[0]),
+            oj_slots=build_slots(edge_args[1], edge_args[4], K, ell_rows[1]),
+            lk_slots=build_slots(edge_args[5], edge_args[9], K, ell_rows[2]),
+            Ol=onehot(
+                jnp.concatenate([edge_args[6], pe_p + L]), L + Pl, dtype
+            ),
+            pk_slots=jnp.where(pk >= 0, pk + E2, -1),  # merged-axis rows
+        )
+    elif kind == "matmul":
         # merged observation selection: point edges hit blocks [0,L),
         # plane edges the appended blocks [L, L+Pl)
         oh = OneHots(
@@ -849,7 +1003,7 @@ def run_lm_loop_pcg_planes(
     def build(p, l, pl):
         eb = build_edge_blocks_with_planes(
             p, l, pl, edge_args, plane_args, allreduce,
-            robust_kind=robust_kind, robust_delta=robust_delta, oh=oh,
+            robust_kind=robust_kind, robust_delta=robust_delta, oh=oh, ell=ell,
         )
         if prior is not None:
             eb = apply_prior_blocks_planes(eb, prior, p, l, pl)
@@ -880,7 +1034,7 @@ def run_lm_loop_pcg_planes(
         p, l, pl, eb, lam, nu, it, done = carry
         dp, db = schur_pcg_step(
             eb, lam, pose_free, block_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind, prior=prior, oh=oh,
+            precond_kind=precond_kind, prior=prior, oh=oh, ell=ell,
         )
         p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
         # speculative relinearization at the trial point (see run_lm_loop_pcg)
@@ -920,7 +1074,7 @@ def run_lm_loop_pcg_planes(
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
         "robust_kind", "robust_delta", "precond_kind", "assembly",
-        "with_marginals",
+        "with_marginals", "ell_rows",
     ),
 )
 def lm_optimize_pcg_planes(
@@ -937,6 +1091,7 @@ def lm_optimize_pcg_planes(
     prior=None,
     assembly: str = "auto",
     with_marginals: bool = False,
+    ell_rows: tuple | None = None,
 ):
     """Single-chip matrix-free planar-patch LM (drop-in for
     ``graph/planes.lm_optimize_with_planes`` on the scaling path).
@@ -951,7 +1106,7 @@ def lm_optimize_pcg_planes(
         max_iterations, rel_tol, max_cg_iters,
         robust_kind=robust_kind, robust_delta=robust_delta,
         precond_kind=precond_kind, init_lambda=init_lambda, prior=prior,
-        assembly=assembly,
+        assembly=assembly, ell_rows=ell_rows,
     )
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(
@@ -979,7 +1134,7 @@ def lm_optimize_pcg_planes(
     jax.jit,
     static_argnames=(
         "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
-        "max_cg_iters", "precond_kind", "assembly",
+        "max_cg_iters", "precond_kind", "assembly", "ell_rows",
     ),
 )
 def sharded_lm_optimize_pcg_planes(
@@ -994,6 +1149,7 @@ def sharded_lm_optimize_pcg_planes(
     precond_kind: str = "jacobi",
     prior=None,
     assembly: str = "auto",
+    ell_rows: tuple | None = None,
 ):
     """Edge-sharded planar-patch LM: odometry, point-observation AND plane
     edges all sharded over the mesh; node arrays replicated; psum traffic per
@@ -1022,6 +1178,7 @@ def sharded_lm_optimize_pcg_planes(
             plane_free, lambda x: jax.lax.psum(x, axis_name),
             max_iterations, rel_tol, max_cg_iters,
             precond_kind=precond_kind, prior=prior, assembly=assembly,
+            ell_rows=ell_rows,
         )
         return p, l, pl, stats
 
@@ -1083,6 +1240,7 @@ def sharded_lm_optimize_pcg_planes(
     static_argnames=(
         "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
         "max_cg_iters", "precond_kind", "assembly", "with_marginals",
+        "ell_rows",
     ),
 )
 def sharded_lm_optimize_pcg(
@@ -1097,6 +1255,7 @@ def sharded_lm_optimize_pcg(
     prior=None,
     assembly: str = "auto",
     with_marginals: bool = False,
+    ell_rows: tuple | None = None,
 ):
     """Edge-sharded matrix-free LM: ~[6K]+[3L] of psum traffic per CG step.
     ``prior`` (fixed-lag MarginalPrior) is replicated; its blocks are folded
@@ -1118,7 +1277,7 @@ def sharded_lm_optimize_pcg(
             poses, landmarks, edges, pose_free, lm_free,
             allreduce, max_iterations, rel_tol,
             max_cg_iters, precond_kind=precond_kind, prior=prior,
-            assembly=assembly,
+            assembly=assembly, ell_rows=ell_rows,
         )
         if with_marginals:
             marg = landmark_marginals_mf(

@@ -352,3 +352,166 @@ class TestMarginalsMF:
                     f"psum payload {v.aval.shape} ({sz} elems) exceeds the "
                     f"O(K+L) budget {limit} — an O(K^2) collective crept in"
                 )
+
+
+def _sort_obs_edges(g):
+    """Reorder a graph's observation edges into the engine's construction
+    order (sorted by keyframe, real edges first) and return the matching
+    static ``ell_rows`` bounds — the assembly.build_slots contract."""
+    lk = np.asarray(g.lme_k)
+    n = int(np.asarray(g.num_lme))
+    order = np.concatenate(
+        [np.argsort(lk[:n], kind="stable"), np.arange(n, lk.shape[0])]
+    )
+    g = g._replace(
+        lme_k=jnp.asarray(lk[order]),
+        lme_l=g.lme_l[order],
+        lme_meas=g.lme_meas[order],
+        lme_info=g.lme_info[order],
+    )
+    r = int(np.bincount(lk[:n]).max()) if n else 1
+    return g, (1, 1, r)
+
+
+class TestEllAssembly:
+    """ELL slot-gather assembly (assembly.build_slots / EllLayout): O(K*R)
+    segment sums for the engine's sorted, per-pose-bounded edge layout —
+    must match the scatter path up to summation order, with no O(E*K)
+    one-hot intermediate anywhere in the program."""
+
+    def test_build_slots_matches_numpy(self, rng):
+        from semantic_slam_tpu.solver.assembly import build_slots, slot_sum
+
+        for _ in range(5):
+            n, e_real, r = 13, 29, 5
+            idx = np.sort(rng.integers(0, n, size=e_real))
+            # force per-row counts <= r by dropping overflow onto row n-1
+            counts = np.bincount(idx, minlength=n)
+            while counts.max() > r:
+                hot = int(np.argmax(counts))
+                pos = np.where(idx == hot)[0][-1]
+                idx = np.delete(idx, pos)
+                idx = np.sort(np.append(idx, n - 1)) if counts[n - 1] < r else np.sort(np.delete(idx, 0))
+                counts = np.bincount(idx, minlength=n)
+            e_real = len(idx)
+            pad = 7
+            idx_full = np.concatenate([idx, np.zeros(pad, np.int64)])
+            mask = np.arange(e_real + pad) < e_real
+            vals = rng.normal(size=(e_real + pad, 3))
+            slots = build_slots(
+                jnp.asarray(idx_full, jnp.int32), jnp.asarray(mask), n, r
+            )
+            got = np.asarray(slot_sum(jnp.asarray(vals), slots))
+            want = np.zeros((n, 3))
+            np.add.at(want, idx, vals[:e_real])
+            np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_pcg_ell_matches_scatter(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        ga, sa = pcg_mod.lm_optimize_pcg(g, max_iterations=25, assembly="scatter")
+        gb, sb = pcg_mod.lm_optimize_pcg(
+            g, max_iterations=25, assembly="ell", ell_rows=ell_rows
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(sb.chi2_final), float(sa.chi2_final), rtol=1e-9
+        )
+
+    def test_ell_without_rows_degrades_gracefully(self, rng):
+        """assembly='ell' with no ell_rows must fall back to a correct path
+        (resolve_assembly contract), not produce garbage."""
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        ga, sa = pcg_mod.lm_optimize_pcg(g, max_iterations=10, assembly="scatter")
+        gb, sb = pcg_mod.lm_optimize_pcg(g, max_iterations=10, assembly="ell")
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-9
+        )
+
+    def test_sharded_ell_matches_scatter(self, rng):
+        from semantic_slam_tpu.parallel.sharded import make_mesh, shard_graph_edges
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        mesh = make_mesh(4)
+        gs_ = shard_graph_edges(g, mesh)
+        ga, sa = pcg_mod.sharded_lm_optimize_pcg(gs_, mesh, assembly="scatter")
+        gb, sb = pcg_mod.sharded_lm_optimize_pcg(
+            gs_, mesh, assembly="ell", ell_rows=ell_rows
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(sb.chi2_final), float(sa.chi2_final), rtol=1e-9
+        )
+
+    def test_planes_prior_ell_matches_scatter(self, rng):
+        from semantic_slam_tpu.graph import planes as planes_ext
+        from semantic_slam_tpu.solver import fixed_lag as fl
+        from semantic_slam_tpu.solver.plane_ba import observe_plane
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        pn = planes_ext.make_planes(4, 32, dtype=jnp.float64)
+        pw = jnp.asarray([0.0, 0.0, 1.0, -1.2], jnp.float64)
+        pn, pid = planes_ext.add_plane_node(pn, pw)
+        info3 = jnp.eye(3, dtype=jnp.float64) * 25.0
+        for k in range(0, min(12, int(g.num_poses)), 2):
+            pn = planes_ext.add_se3_plane_edge(
+                pn, k, pid, observe_plane(g.poses[k], pw), info3
+            )
+        L = g.landmarks.shape[0]
+        g2, pn2, prior, _ = fl.marginalize_planes(
+            g, pn, fl.empty_prior(L, Pl=4, dtype=jnp.float64), drop=4
+        )
+        ga, pa, sa = pcg_mod.lm_optimize_pcg_planes(
+            g2, pn2, max_iterations=20, prior=prior, assembly="scatter"
+        )
+        gb, pb, sb = pcg_mod.lm_optimize_pcg_planes(
+            g2, pn2, max_iterations=20, prior=prior, assembly="ell",
+            ell_rows=ell_rows + (1,),
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(pb.planes), np.asarray(pa.planes), atol=1e-9
+        )
+
+    def test_marginals_graph_ell_matches_default(self, rng):
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        g, _ = pcg_mod.lm_optimize_pcg(g, max_iterations=10)
+        ma = pcg_mod.landmark_marginals_graph(g, assembly="scatter")
+        mb = pcg_mod.landmark_marginals_graph(
+            g, assembly="ell", ell_rows=ell_rows
+        )
+        np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), atol=1e-8)
+
+    def test_no_onehot_intermediates_in_ell_program(self, rng):
+        """The point of the ELL layout: NO [E, K]-shaped pose-side one-hot
+        anywhere in the solve program (the landmark-side [E, L] one-hot is
+        allowed — L is bounded by the object table, not the trajectory)."""
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        K = g.poses.shape[0]
+        E1 = g.odom_i.shape[0]
+        E2 = g.lme_k.shape[0]
+
+        def run(g):
+            return pcg_mod.lm_optimize_pcg(
+                g, max_iterations=8, assembly="ell", ell_rows=ell_rows
+            )
+
+        jaxpr = jax.make_jaxpr(run)(g)
+        eqns = _walk_jaxpr(jaxpr.jaxpr, [])
+        bad = []
+        for eqn in eqns:
+            for v in list(eqn.outvars) + list(eqn.invars):
+                shape = getattr(getattr(v, "aval", None), "shape", ())
+                if len(shape) >= 2 and shape[-1] == K and shape[-2] in (E1, E2):
+                    bad.append((eqn.primitive.name, shape))
+        assert not bad, f"[E, K] one-hot intermediates found: {bad}"
