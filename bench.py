@@ -112,7 +112,7 @@ def tpu_ms_per_iter():
         "pcg32_ell",
         lambda g: pcg_mod.lm_optimize_pcg(
             g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
-            ell_rows=ell_rows,
+            ell_rows=ell_rows, cg_tol=0.0,
         ),
     )
     best = pcg32
@@ -120,7 +120,8 @@ def tpu_ms_per_iter():
         pcg = measure(
             "pcg32_onehot",
             lambda g: pcg_mod.lm_optimize_pcg(
-                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+                g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+                cg_tol=0.0,
             ),
         )
         best = min(best, pcg)
@@ -152,7 +153,7 @@ def tpu_ms_per_iter():
         def traced():
             out, _ = pcg_mod.lm_optimize_pcg(
                 g_t, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
-                ell_rows=ell_rows,
+                ell_rows=ell_rows, cg_tol=0.0,
             )
             _ = float(out.poses[0, 0])
 

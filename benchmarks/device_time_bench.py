@@ -208,7 +208,7 @@ def solver_device_times(tracer: Tracer):
         def solve(g):
             out, stats = pcg_mod.lm_optimize_pcg(
                 g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
-                ell_rows=ell_rows,
+                ell_rows=ell_rows, cg_tol=0.0,
             )
             return float(out.poses[0, 0])  # force a real fetch
 
@@ -224,12 +224,21 @@ def solver_device_times(tracer: Tracer):
             "device_ms_total": round(dev_ms, 3),
             "wall_ms_total": round(wall_ms, 1),
         }
+        # per-kernel breakdown of the MAIN trace (before the A/B overwrites
+        # tracer.last_dir): top fused ops by device time
+        try:
+            ops = device_op_durations(tracer.last_dir)
+            top = sorted(ops.items(), key=lambda kv: -kv[1])[:10]
+            results[f"K{K}"]["top_ops_ms"] = {k: round(v, 3) for k, v in top}
+        except Exception:
+            pass
         # A/B: the one-hot matmul assembly the ELL layout replaced
         # (solver/assembly.py) — same graph family, fresh seed
         try:
             def solve_oh(g):
                 out, _ = pcg_mod.lm_optimize_pcg(
-                    g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32
+                    g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+                    cg_tol=0.0,
                 )
                 return float(out.poses[0, 0])
 
@@ -247,7 +256,7 @@ def solver_device_times(tracer: Tracer):
             flops, bytes_acc = cost_numbers(
                 pcg_mod.lm_optimize_pcg, graphs[1],
                 max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
-                ell_rows=ell_rows,
+                ell_rows=ell_rows, cg_tol=0.0,
             )
             if dev_ms > 0:
                 results[f"K{K}"]["roofline"] = roofline_row(
@@ -255,13 +264,6 @@ def solver_device_times(tracer: Tracer):
                 )
         except Exception as e:  # pragma: no cover
             print(f"[device] cost_analysis unavailable: {e}", file=sys.stderr)
-        # per-kernel breakdown (top fused ops by device time)
-        try:
-            ops = device_op_durations(tracer.last_dir)
-            top = sorted(ops.items(), key=lambda kv: -kv[1])[:10]
-            results[f"K{K}"]["top_ops_ms"] = {k: round(v, 3) for k, v in top}
-        except Exception:
-            pass
         rl = results[f"K{K}"].get("roofline", {})
         print(
             f"[device] solver K={K}: {dev_ms / ITERS:.3f} ms/iter on-device "

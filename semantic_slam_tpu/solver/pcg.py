@@ -419,6 +419,7 @@ def schur_pcg_step(
     prior=None,
     oh: OneHots | None = None,
     ell: EllLayout | None = None,
+    cg_tol: float = 1e-8,
 ):
     """One damped Schur-eliminated solve on (possibly plane-extended) edge
     blocks: returns (dp [K,6], db [B,3]) where B = number of 3-dof landmark
@@ -470,8 +471,8 @@ def schur_pcg_step(
         )
     b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
     dp = pcg_solve(
-        eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters, precond=precond,
-        prior=prior, oh=oh, ell=ell,
+        eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters, tol=cg_tol,
+        precond=precond, prior=prior, oh=oh, ell=ell,
     )
     # back-substitute: db = Ainv(-gl - W^T dp)
     dpk = (dp * pf[:, None])
@@ -512,6 +513,7 @@ def run_lm_loop_pcg(
     prior=None,
     assembly: str = "auto",
     ell_rows: tuple | None = None,
+    cg_tol: float = 1e-8,
 ):
     """Nielsen-damped LM with the matrix-free PCG inner solver.
     ``init_lambda > 0`` (traced) warm-starts the damping. ``prior`` is a
@@ -571,6 +573,7 @@ def run_lm_loop_pcg(
         return schur_pcg_step(
             eb, lam, pose_free, lm_free, allreduce, max_cg_iters,
             precond_kind=precond_kind, prior=prior, oh=oh, ell=ell,
+            cg_tol=cg_tol,
         )
 
     def cond(carry):
@@ -677,6 +680,23 @@ def landmark_marginals_mf(
     w_e = pf[eb.lk] * lmf[eb.ll]
     W_e = eb.W_kl * w_e[:, None, None]  # [E,6,3]
     U = allreduce(cross_block_mm(eb.lk, eb.ll, W_e, K, B)).reshape(K, 6, 3 * B)
+    return _sigma_from_chain_parts(
+        fac, U, eb.Hll, pose_free, block_free, prior, dtype
+    )
+
+
+def _sigma_from_chain_parts(fac, U, Hll, pose_free, block_free, prior, dtype):
+    """Shared tail of the matrix-free marginal recovery: given the factored
+    pose-chain tridiagonal ``fac`` and the W columns ``U`` [K,6,3B], fold
+    the optional boundary prior (Woodbury) and invert the landmark-reduced
+    information S = Hll - W^T Hpp^-1 W. Used by both edge layouts."""
+    from semantic_slam_tpu.solver import tridiag as td
+
+    K = U.shape[0]
+    B = Hll.shape[0]
+    pf = pose_free.astype(dtype)
+    lmf = block_free.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
     X = td.pcr_solve_cols(fac, U)  # T^-1 W
 
     if prior is not None:
@@ -706,7 +726,7 @@ def landmark_marginals_mf(
     # landmark-reduced information S = Hll - W^T Hpp^-1 W  ([3B,3B]) —
     # dense in the BOUNDED landmark axis only
     UtX = jnp.einsum("kac,kad->cd", U, X)
-    A = eb.Hll * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
+    A = Hll * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
     bidx3 = jnp.arange(B)
     S = (-UtX).reshape(B, 3, B, 3)
     S = S.at[bidx3, :, bidx3, :].add(A)
@@ -723,6 +743,465 @@ def landmark_marginals_mf(
     sigma = Sigma.reshape(B, 3, B, 3)[bidx3, :, bidx3, :]
     sigma = 0.5 * (sigma + jnp.swapaxes(sigma, -1, -2))
     return sigma * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# Per-pose ELL layout: the single-chip fast path
+# ---------------------------------------------------------------------------
+#
+# Device-lane profiling of the two generic assemblies (device_time_bench):
+# the one-hot matmuls do O(E*K) work (dominates from K~2048 up), while the
+# slot-GATHER form (EllLayout above) replaces them with row gathers that are
+# latency-bound on TPU (2x SLOWER at K<=2048). The resolution is a third
+# layout that needs neither pose-side gathers nor one-hots: store landmark
+# edges in a dense per-pose grid [K, R] (R = the static per-keyframe bound,
+# empty slots info-masked) and odometry as the chain it is ([K] rows, edge
+# k -> k+1). Then
+#
+#   * the pose-side GATHER  x[lme_k]  is a broadcast  x[:, None, :],
+#   * the pose-side SEGMENT SUM is  .sum(axis=1)  over the R slots,
+#   * the odometry gathers/sums are one roll/shift,
+#
+# i.e. every trajectory-sized indexed op vanishes into elementwise/batched
+# arithmetic; only the LANDMARK side keeps an inline one-hot ([K*R, L],
+# bounded by the object table, not the trajectory). Measured per CG step at
+# K=4096: 69 us vs 65 us one-hot — but the one-hot LINEARIZATION'S O(E*K)
+# diag/gp reductions (~3.5 ms/iter at K=4096) collapse to sums as well.
+#
+# Conversion from the graph's [E] edge arrays happens once per solve (a
+# [K,R]-row gather through assembly.build_slots; indices never change inside
+# the LM loop). Contract: same as build_slots (sorted real-prefix, per-pose
+# bound R) plus CHAIN odometry (odom edge e joins poses (i, i+1)); a
+# non-chain odometry edge is dropped from the system (guarded exactly, not
+# corrupted) — the engine never builds one (semantic_graph_slam.cpp:104-150).
+# The slot-gather EllLayout above remains the layout for the SHARDED paths,
+# whose edge-sharding contract it matches shard-locally.
+
+
+class EllEdges(NamedTuple):
+    """Static per-solve edge data in per-pose layout (see block comment)."""
+
+    ll: jax.Array  # [K, R] landmark index per slot (0 where empty)
+    meas: jax.Array  # [K, R, 3]
+    info: jax.Array  # [K, R, 3, 3], zeroed on empty slots
+    o_meas: jax.Array  # [K, 7] odometry measurement of edge k -> k+1
+    o_info: jax.Array  # [K, 6, 6], zeroed where no chain edge leaves k
+    o_w: jax.Array  # [K] chain-edge mask (float)
+
+
+class EllBlocks(NamedTuple):
+    """Per-pose-layout Hessian blocks (field names shared with EdgeBlocks
+    where apply_prior_blocks touches them: Hll/gp/gl/diag/chi2)."""
+
+    ll: jax.Array  # [K, R]
+    H_ii: jax.Array  # [K, 6, 6] chain edge k->k+1, i-side
+    H_ij: jax.Array  # [K, 6, 6]
+    H_jj: jax.Array  # [K, 6, 6]
+    H_kk: jax.Array  # [K, R, 6, 6]
+    W_kl: jax.Array  # [K, R, 6, 3]
+    Hll: jax.Array  # [L, 3, 3]
+    gp: jax.Array  # [K, 6]
+    gl: jax.Array  # [L, 3]
+    diag: jax.Array  # [K, 6, 6]
+    chi2: jax.Array
+
+
+def _shift_down(v):
+    """Row k of the result = row k-1 of v (row 0 = 0): the j-side
+    contribution of chain edge k-1 landing on pose k."""
+    return jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]], axis=0)
+
+
+def _onehot_l(ll_flat, L, dtype):
+    # inline; XLA fuses the compare into the consuming contraction
+    return (
+        ll_flat[:, None] == jnp.arange(L, dtype=ll_flat.dtype)[None, :]
+    ).astype(dtype)
+
+
+def _factor_l(L: int) -> tuple[int, int]:
+    """L ~ hi * lo with lo a power of two near sqrt(L) — the digit split
+    for the two-level landmark one-hots below."""
+    lo = 1
+    while lo * lo < L:
+        lo *= 2
+    return -(-L // lo), lo
+
+
+def _seg_sum_l(ll_flat, vals, L):
+    """Landmark-side segment sum [E, D] -> [L, D] via a TWO-LEVEL one-hot.
+
+    A flat inline one-hot costs E*L fused compares on the VPU —
+    the dominant CG-step cost once the pose side is free (measured 46
+    us/step at K=4096/L=1024). Splitting l = hi*lo_w + lo factors it into
+    E*lo_w compares (the low digit, multiplied into vals) plus a [hi, E] x
+    [E, lo_w*D] contraction (the high digit) that is wide enough for the
+    MXU: O(E*sqrt(L)) compare work instead of O(E*L)."""
+    E, D = vals.shape
+    hi, lo_w = _factor_l(L)
+    dtype = vals.dtype
+    lo_e = ll_flat % lo_w
+    hi_e = ll_flat // lo_w
+    oh_lo = (
+        lo_e[:, None] == jnp.arange(lo_w, dtype=ll_flat.dtype)[None, :]
+    ).astype(dtype)
+    P = oh_lo[:, :, None] * vals[:, None, :]  # [E, lo_w, D]
+    oh_hi = (
+        hi_e[:, None] == jnp.arange(hi, dtype=ll_flat.dtype)[None, :]
+    ).astype(dtype)
+    T = jnp.einsum("eh,eld->hld", oh_hi, P)
+    return T.reshape(hi * lo_w, D)[:L]
+
+
+def _gather_l(ll_flat, table, L):
+    """Landmark-side gather [L, D] -> [E, D], two-level (see _seg_sum_l)."""
+    E = ll_flat.shape[0]
+    D = table.shape[1]
+    hi, lo_w = _factor_l(L)
+    dtype = table.dtype
+    pad = hi * lo_w - L
+    Tt = jnp.concatenate(
+        [table, jnp.zeros((pad, D), dtype)]
+    ).reshape(hi, lo_w * D)
+    lo_e = ll_flat % lo_w
+    hi_e = ll_flat // lo_w
+    oh_hi = (
+        hi_e[:, None] == jnp.arange(hi, dtype=ll_flat.dtype)[None, :]
+    ).astype(dtype)
+    w = (oh_hi @ Tt).reshape(E, lo_w, D)
+    oh_lo = (
+        lo_e[:, None] == jnp.arange(lo_w, dtype=ll_flat.dtype)[None, :]
+    ).astype(dtype)
+    return jnp.einsum("el,eld->ed", oh_lo, w)
+
+
+def build_ell_edges(edge_args: tuple, K: int, R: int) -> EllEdges:
+    """[E]-layout edge arrays -> per-pose layout, once per solve."""
+    from semantic_slam_tpu.solver.assembly import build_slots
+
+    (oi, oj, o_meas, o_info, o_mask, lk, ll, l_meas, l_info, l_mask) = edge_args
+    E1, E2 = oi.shape[0], lk.shape[0]
+    dtype = l_meas.dtype
+
+    slots = build_slots(lk, l_mask, K, R)  # [K, R], -1 empty
+    valid = (slots >= 0).astype(dtype)
+
+    def gat(a, e):
+        ap = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)])
+        return ap[jnp.where(e >= 0, e, a.shape[0])]
+
+    ll_e = gat(ll, slots)  # pad rows read index 0; their info is zeroed
+    meas_e = gat(l_meas, slots)
+    info_e = gat(l_info, slots) * valid[:, :, None, None]
+
+    so = build_slots(oi, o_mask, K, 1)[:, 0]  # [K]
+    oj_e = gat(oj, so)
+    # chain guard: a slot whose edge does NOT go k -> k+1 is dropped
+    # exactly (never mis-attributed to the chain)
+    o_w = ((so >= 0) & (oj_e == jnp.arange(K, dtype=oj.dtype) + 1)).astype(dtype)
+    # empty/dropped rows carry the identity measurement: a zero quaternion
+    # would NaN the (masked) jacobian rows, and NaN * 0 stays NaN
+    ident = jnp.zeros((7,), dtype).at[3].set(1.0)
+    o_meas_e = jnp.where(o_w[:, None] > 0, gat(o_meas, so), ident[None, :])
+    o_info_e = gat(o_info, so) * o_w[:, None, None]
+    return EllEdges(
+        ll=ll_e, meas=meas_e, info=info_e,
+        o_meas=o_meas_e, o_info=o_info_e, o_w=o_w,
+    )
+
+
+def ell_linearize(
+    poses,
+    landmarks,
+    ee: EllEdges,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+) -> EllBlocks:
+    """build_edge_blocks in per-pose layout: no pose-side indexed ops."""
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    R = ee.ll.shape[1]
+    dtype = poses.dtype
+
+    # chain odometry: edge k joins (k, k+1); roll brings pose k+1 to row k
+    # (the wrapped last row is zero-masked via o_info/o_w)
+    pj = jnp.roll(poses, -1, axis=0)
+    r_o, Ji, Jj = jax.vmap(res.se3_edge_residual_jac)(poses, pj, ee.o_meas)
+    JiT_O = jnp.einsum("kai,kab->kib", Ji, ee.o_info)
+    JjT_O = jnp.einsum("kai,kab->kib", Jj, ee.o_info)
+    H_ii = jnp.einsum("kia,kaj->kij", JiT_O, Ji)
+    H_ij = jnp.einsum("kia,kaj->kij", JiT_O, Jj)
+    H_jj = jnp.einsum("kia,kaj->kij", JjT_O, Jj)
+    g_i = jnp.einsum("kia,ka->ki", JiT_O, r_o)
+    g_j = jnp.einsum("kia,ka->ki", JjT_O, r_o)
+    chi_o = jnp.einsum("ka,kab,kb->", r_o, ee.o_info, r_o)
+
+    # landmark edges: pose broadcast over the R slots; landmark values via
+    # the two-level one-hot (TPU row gathers are latency-bound, flat
+    # one-hots cost O(E*L) VPU compares — see _seg_sum_l)
+    ll_flat = ee.ll.reshape(-1)
+    p_b = jnp.broadcast_to(poses[:, None, :], (K, R, poses.shape[1]))
+    lw = _gather_l(ll_flat, landmarks, L).reshape(K, R, 3)
+    r_l, Jp, Jl = jax.vmap(jax.vmap(res.se3_point_residual_jac))(
+        p_b, lw, ee.meas
+    )
+    l_info = ee.info
+    chi_e = jnp.einsum("kra,krab,krb->kr", r_l, l_info, r_l)
+    chi_l = jnp.sum(robust_rho(chi_e.reshape(-1), robust_kind, robust_delta))
+    if robust_kind != "none":
+        w = robust_weight(
+            chi_e.reshape(-1), robust_kind, robust_delta
+        ).astype(dtype).reshape(K, R)
+        l_info = l_info * w[:, :, None, None]
+    JpT_O = jnp.einsum("krai,krab->krib", Jp, l_info)
+    JlT_O = jnp.einsum("krai,krab->krib", Jl, l_info)
+    H_kk = jnp.einsum("kria,kraj->krij", JpT_O, Jp)
+    W_kl = jnp.einsum("kria,kraj->krij", JpT_O, Jl)
+    H_ll_e = jnp.einsum("kria,kraj->krij", JlT_O, Jl)
+    g_k = jnp.einsum("kria,kra->kri", JpT_O, r_l)
+    g_l = jnp.einsum("kria,kra->kri", JlT_O, r_l)
+
+    Hll = _seg_sum_l(ll_flat, H_ll_e.reshape(K * R, 9), L).reshape(L, 3, 3)
+    gl = _seg_sum_l(ll_flat, g_l.reshape(K * R, 3), L)
+    gp = g_i + _shift_down(g_j) + g_k.sum(axis=1)
+    diag = H_ii + _shift_down(H_jj) + H_kk.sum(axis=1)
+    return EllBlocks(
+        ll=ee.ll, H_ii=H_ii, H_ij=H_ij, H_jj=H_jj, H_kk=H_kk, W_kl=W_kl,
+        Hll=Hll, gp=gp, gl=gl, diag=diag, chi2=chi_o + chi_l,
+    )
+
+
+def ell_matvec(eb: EllBlocks, Ainv, lam, pf, x, prior=None):
+    """Damped reduced-operator application, all pose ops elementwise."""
+    K, R = eb.ll.shape
+    L = Ainv.shape[0]
+    dtype = x.dtype
+    x = x * pf[:, None]
+    ll_flat = eb.ll.reshape(-1)
+
+    wx = jnp.einsum("krij,ki->krj", eb.W_kl, x)  # W^T x per slot
+    t = _seg_sum_l(ll_flat, wx.reshape(K * R, 3), L)
+    z = jnp.einsum("lij,lj->li", Ainv, t)
+    zb = _gather_l(ll_flat, z, L).reshape(K, R, 3)
+    vk = jnp.einsum("krij,kj->kri", eb.H_kk, x) - jnp.einsum(
+        "krij,krj->kri", eb.W_kl, zb
+    )
+    u = vk.sum(axis=1)
+
+    xj = jnp.roll(x, -1, axis=0)  # pose k+1 at row k (masked blocks)
+    vi = jnp.einsum("kij,kj->ki", eb.H_ii, x) + jnp.einsum(
+        "kij,kj->ki", eb.H_ij, xj
+    )
+    vj = jnp.einsum("kji,kj->ki", eb.H_ij, x) + jnp.einsum(
+        "kij,kj->ki", eb.H_jj, xj
+    )
+    u = u + vi + _shift_down(vj)
+
+    if prior is not None:
+        PB = prior.p_idx.shape[0]
+        xp = x[prior.p_idx].reshape(-1)
+        u = u.at[prior.p_idx].add((prior.Hp @ xp).reshape(PB, 6))
+    return (u + lam * x) * pf[:, None]
+
+
+def _ell_chain_upper(eb: EllBlocks, pose_free):
+    """Chain coupling blocks for the tridiagonal preconditioner/marginals:
+    upper[k] joins poses (k, k+1); couplings touching fixed poses zeroed."""
+    pf = pose_free.astype(eb.H_ij.dtype)
+    pf_next = jnp.concatenate([pf[1:], jnp.zeros_like(pf[:1])])
+    return eb.H_ij * (pf * pf_next)[:, None, None]
+
+
+def ell_schur_step(
+    eb: EllBlocks,
+    lam,
+    pose_free,
+    block_free,
+    max_cg_iters: int,
+    precond_kind: str = "jacobi",
+    prior=None,
+    cg_tol: float = 1e-8,
+):
+    """schur_pcg_step in per-pose layout (single-chip)."""
+    dtype = eb.gp.dtype
+    K, R = eb.ll.shape
+    L = eb.Hll.shape[0]
+    pf = pose_free.astype(dtype)
+    lmf = block_free.astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    ll_flat = eb.ll.reshape(-1)
+
+    precond = None
+    if precond_kind == "tridiag":
+        from semantic_slam_tpu.solver import tridiag as td
+
+        D = eb.diag + lam * eye6[None]
+        D = D * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
+        fac = td.pcr_factor(D, _ell_chain_upper(eb, pose_free))
+
+        def precond(r):
+            return td.pcr_solve(fac, r) * pf[:, None]
+
+    A = eb.Hll + lam * eye3[None]
+    A = A * lmf[:, None, None] + eye3[None] * (1.0 - lmf)[:, None, None]
+    Ainv = inv33(A)
+    gl = eb.gl * lmf[:, None]
+    y = jnp.einsum("lij,lj->li", Ainv, gl)
+    yb = _gather_l(ll_flat, y, L).reshape(K, R, 3)
+    c = jnp.einsum("krij,krj->kri", eb.W_kl, yb).sum(axis=1)
+    b = -(eb.gp - c) * pf[:, None]
+
+    if precond is None:
+        Mdiag = eb.diag + lam * eye6[None]
+        Mdiag = Mdiag * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
+        Minv = lm_inv66(Mdiag)
+
+        def precond(r):
+            return jnp.einsum("kij,kj->ki", Minv, r) * pf[:, None]
+
+    b = b * pf[:, None]
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (jnp.sum(r * r) > cg_tol * b2) & (it < max_cg_iters)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = ell_matvec(eb, Ainv, lam, pf, p, prior=prior)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    dp, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32))
+    )
+
+    dpk = dp * pf[:, None]
+    wd = jnp.einsum("krij,ki->krj", eb.W_kl, dpk)
+    t = _seg_sum_l(ll_flat, wd.reshape(K * R, 3), L)
+    db = jnp.einsum("lij,lj->li", Ainv, (-gl - t)) * lmf[:, None]
+    return dp, db
+
+
+def run_lm_loop_pcg_ellk(
+    poses,
+    landmarks,
+    edge_args: tuple,
+    pose_free,
+    lm_free,
+    max_iterations: int,
+    rel_tol: float,
+    max_cg_iters: int = 128,
+    init_lambda_tau: float = 1e-5,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+    init_lambda=0.0,
+    precond_kind: str = "jacobi",
+    prior=None,
+    ell_rows: tuple = (1, 1, 8),
+    cg_tol: float = 1e-8,
+):
+    """run_lm_loop_pcg on the per-pose layout (single-chip fast path)."""
+    dtype = poses.dtype
+    ee = build_ell_edges(edge_args, poses.shape[0], ell_rows[2])
+
+    def build(p, l):
+        eb = ell_linearize(
+            p, l, ee, robust_kind=robust_kind, robust_delta=robust_delta
+        )
+        if prior is not None:
+            eb = apply_prior_blocks(eb, prior, p, l)
+        return eb
+
+    eb0 = build(poses, landmarks)
+    chi2_0 = eb0.chi2
+    diag_max = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(eb0.diag, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(eb0.Hll, axis1=-2, axis2=-1))),
+    )
+    init_lambda = jnp.asarray(init_lambda, dtype)
+    lam0 = jnp.where(
+        init_lambda > 0, init_lambda, init_lambda_tau * jnp.maximum(diag_max, 1.0)
+    ).astype(dtype)
+
+    def cond(carry):
+        _, _, _, _, _, it, done = carry
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(carry):
+        p, l, eb, lam, nu, it, done = carry
+        dp, dl = ell_schur_step(
+            eb, lam, pose_free, lm_free, max_cg_iters,
+            precond_kind=precond_kind, prior=prior, cg_tol=cg_tol,
+        )
+        p_new = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
+        l_new = l + dl.astype(l.dtype)
+        eb_new = build(p_new, l_new)
+        chi2_new = eb_new.chi2
+
+        delta = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
+        gvec = jnp.concatenate([eb.gp.reshape(-1), eb.gl.reshape(-1)])
+        pred = lam * jnp.dot(delta, delta) - jnp.dot(delta, gvec)
+        rho = (eb.chi2 - chi2_new) / jnp.maximum(pred, 1e-12)
+        finite = jnp.isfinite(chi2_new) & jnp.all(jnp.isfinite(delta))
+        accept = (rho > 0) & finite
+
+        p = jnp.where(accept, p_new, p)
+        l = jnp.where(accept, l_new, l)
+        lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, lam_acc, lam * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        converged = accept & (
+            (eb.chi2 - chi2_new) <= rel_tol * jnp.maximum(eb.chi2, 1e-12)
+        )
+        done = converged | (lam > 1e12)
+        eb = jax.tree.map(lambda a, b: jnp.where(accept, a, b), eb_new, eb)
+        return p, l, eb, lam, nu, it + 1, done
+
+    init = (
+        poses, landmarks, eb0, lam0, jnp.asarray(2.0, dtype),
+        jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    )
+    p, l, eb_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return p, l, LMStats(it, chi2_0, eb_f.chi2, lam), eb_f
+
+
+def landmark_marginals_mf_ellk(
+    eb: EllBlocks, pose_free, block_free, prior=None
+) -> jax.Array:
+    """landmark_marginals_mf on per-pose-layout blocks: the chain
+    tridiagonal reads off directly, and the W columns assemble per slot."""
+    from semantic_slam_tpu.solver import tridiag as td
+
+    K, R = eb.ll.shape
+    B = eb.Hll.shape[0]
+    dtype = eb.gp.dtype
+    pf = pose_free.astype(dtype)
+    lmf = block_free.astype(dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    Dm = eb.diag * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
+    fac = td.pcr_factor(Dm, _ell_chain_upper(eb, pose_free))
+
+    w_e = pf[:, None] * lmf[eb.ll]  # [K, R]
+    W_m = eb.W_kl * w_e[:, :, None, None]
+    OlmK = _onehot_l(eb.ll.reshape(-1), B, dtype).reshape(K, R, B)
+    U = jnp.einsum("krb,krxy->kxby", OlmK, W_m).reshape(K, 6, 3 * B)
+    return _sigma_from_chain_parts(
+        fac, U, eb.Hll, pose_free, block_free, prior, dtype
+    )
 
 
 def _edge_args(g: GraphState):
@@ -757,16 +1236,15 @@ def landmark_marginals_graph(
     K = g.poses.shape[0]
     L = g.landmarks.shape[0]
     oh = None
-    ell = None
     kind = resolve_assembly(assembly, ell_ok=ell_rows is not None)
     if kind == "ell":
-        ell = EllLayout(
-            oi_slots=build_slots(edge_args[0], edge_args[4], K, ell_rows[0]),
-            oj_slots=build_slots(edge_args[1], edge_args[4], K, ell_rows[1]),
-            lk_slots=build_slots(edge_args[5], edge_args[9], K, ell_rows[2]),
-            Ol=onehot(edge_args[6], L, g.poses.dtype),
-        )
-    elif kind == "matmul":
+        # per-pose layout end to end (build + recovery)
+        ee = build_ell_edges(edge_args, K, ell_rows[2])
+        ebk = ell_linearize(g.poses, g.landmarks, ee)
+        if prior is not None:
+            ebk = apply_prior_blocks(ebk, prior, g.poses, g.landmarks)
+        return landmark_marginals_mf_ellk(ebk, pose_free, lm_free, prior=prior)
+    if kind == "matmul":
         oh = OneHots(
             Oi=onehot(edge_args[0], K, g.poses.dtype),
             Oj=onehot(edge_args[1], K, g.poses.dtype),
@@ -774,7 +1252,7 @@ def landmark_marginals_graph(
             Ol=onehot(edge_args[6], L, g.poses.dtype),
         )
     eb = build_edge_blocks(
-        g.poses, g.landmarks, *edge_args, lambda x: x, oh=oh, ell=ell
+        g.poses, g.landmarks, *edge_args, lambda x: x, oh=oh
     )
     if prior is not None:
         eb = apply_prior_blocks(eb, prior, g.poses, g.landmarks)
@@ -786,7 +1264,7 @@ def landmark_marginals_graph(
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
         "robust_kind", "robust_delta", "precond_kind", "assembly",
-        "with_marginals", "ell_rows",
+        "with_marginals", "ell_rows", "cg_tol",
     ),
 )
 def lm_optimize_pcg(
@@ -803,21 +1281,36 @@ def lm_optimize_pcg(
     assembly: str = "auto",
     with_marginals: bool = False,
     ell_rows: tuple | None = None,
+    cg_tol: float = 1e-8,
 ):
     """Single-chip matrix-free LM (drop-in for lm_optimize).
 
     ``with_marginals=True`` additionally returns landmark marginals computed
     matrix-free from the loop's final accepted edge blocks (prior included
     when one is passed) — no dense [6K,6K] factor on any maha+pcg tick.
-    ``ell_rows`` enables the O(K*R) ELL assembly (run_lm_loop_pcg)."""
+    ``ell_rows`` enables the ELL assembly; single-chip this is the per-pose
+    layout (run_lm_loop_pcg_ellk — broadcast/sum pose ops, no gathers or
+    [E,K] one-hots)."""
+    from semantic_slam_tpu.solver.assembly import resolve_assembly
+
     pose_free, lm_free = _free_masks(g)
-    poses, landmarks, stats, eb_f = run_lm_loop_pcg(
-        g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
-        lambda x: x, max_iterations, rel_tol, max_cg_iters,
-        robust_kind=robust_kind, robust_delta=robust_delta,
-        init_lambda=init_lambda, precond_kind=precond_kind, prior=prior,
-        assembly=assembly, ell_rows=ell_rows,
-    )
+    kind = resolve_assembly(assembly, ell_ok=ell_rows is not None)
+    if kind == "ell":
+        poses, landmarks, stats, eb_f = run_lm_loop_pcg_ellk(
+            g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
+            max_iterations, rel_tol, max_cg_iters,
+            robust_kind=robust_kind, robust_delta=robust_delta,
+            init_lambda=init_lambda, precond_kind=precond_kind, prior=prior,
+            ell_rows=ell_rows, cg_tol=cg_tol,
+        )
+    else:
+        poses, landmarks, stats, eb_f = run_lm_loop_pcg(
+            g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
+            lambda x: x, max_iterations, rel_tol, max_cg_iters,
+            robust_kind=robust_kind, robust_delta=robust_delta,
+            init_lambda=init_lambda, precond_kind=precond_kind, prior=prior,
+            assembly=kind, cg_tol=cg_tol,
+        )
     run = g.num_edges() >= min_edges
     g = g._replace(
         poses=jnp.where(run, poses, g.poses),
@@ -830,7 +1323,12 @@ def lm_optimize_pcg(
         lambda_final=stats.lambda_final,
     )
     if with_marginals:
-        marg = landmark_marginals_mf(eb_f, pose_free, lm_free, prior=prior)
+        if kind == "ell":
+            marg = landmark_marginals_mf_ellk(
+                eb_f, pose_free, lm_free, prior=prior
+            )
+        else:
+            marg = landmark_marginals_mf(eb_f, pose_free, lm_free, prior=prior)
         return g, stats, marg
     return g, stats
 
