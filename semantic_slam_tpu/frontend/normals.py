@@ -34,17 +34,22 @@ def _box_sum(ii: jax.Array, r: int) -> jax.Array:
 
     ii: [H+1, W+1, C] zero-padded prefix sums. Returns [H, W, C] sums over
     the (2r+1)^2 window clipped to the image.
+
+    The window clip (index ``clip(i±r, 0, H)``) is realized by EDGE-padding
+    the integral image and taking four STATIC slices: clipped advanced
+    indexing lowers to TPU gathers, which are latency-bound and dominated
+    the whole frontend (measured 8.2 ms of a 10 ms 640x480 detection tick;
+    identical values either way — same elements, different access pattern).
     """
     H = ii.shape[0] - 1
     W = ii.shape[1] - 1
-    ys = jnp.clip(jnp.arange(H) - r, 0, H)
-    ye = jnp.clip(jnp.arange(H) + r + 1, 0, H)
-    xs = jnp.clip(jnp.arange(W) - r, 0, W)
-    xe = jnp.clip(jnp.arange(W) + r + 1, 0, W)
-    a = ii[ye[:, None], xe[None, :]]
-    b = ii[ys[:, None], xe[None, :]]
-    c = ii[ye[:, None], xs[None, :]]
-    d = ii[ys[:, None], xs[None, :]]
+    # J[i + r + d] == ii[clip(i + d, 0, H)] for d in [-r, r+1]
+    J = jnp.pad(ii, ((r, r + 1), (r, r + 1), (0, 0)), mode="edge")
+    s = 2 * r + 1
+    a = J[s : s + H, s : s + W]
+    b = J[0:H, s : s + W]
+    c = J[s : s + H, 0:W]
+    d = J[0:H, 0:W]
     return a - b - c + d
 
 
@@ -164,7 +169,11 @@ def compute_normals_adaptive(
     first_clean = jnp.argmax(clean, axis=0)
     any_clean = jnp.any(clean, axis=0)
     sel = jnp.where(any_clean, first_clean, len(radii) - 1)  # [H, W]
-    s = jnp.take_along_axis(s_stack, sel[None, ..., None], axis=0)[0]
+    # per-pixel scale pick as R selects, not a take_along_axis gather
+    # (TPU gathers are latency-bound; R is tiny)
+    s = s_stack[len(radii) - 1]
+    for k in range(len(radii) - 2, -1, -1):
+        s = jnp.where((sel == k)[..., None], s_stack[k], s)
 
     n = s[..., 9:10]
     n_safe = jnp.maximum(n, 1.0)
