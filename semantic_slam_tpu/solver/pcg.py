@@ -1178,6 +1178,209 @@ def run_lm_loop_pcg_ellk(
     return p, l, LMStats(it, chi2_0, eb_f.chi2, lam), eb_f
 
 
+class EllEdgesPlanes(NamedTuple):
+    """EllEdges + SE3-plane edges in per-pose layout ([K, R4] slots)."""
+
+    pt: EllEdges
+    pl: jax.Array  # [K, R4] plane index per slot (0 where empty)
+    pmeas: jax.Array  # [K, R4, 4]
+    pinfo: jax.Array  # [K, R4, 3, 3], zeroed on empty slots
+
+
+def build_ell_edges_planes(
+    edge_args: tuple, plane_args: tuple, K: int, R3: int, R4: int
+) -> EllEdgesPlanes:
+    from semantic_slam_tpu.solver.assembly import build_slots
+
+    pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
+    E3 = pe_k.shape[0]
+    dtype = pe_meas.dtype
+    slots = build_slots(pe_k, pe_mask, K, R4)
+    valid = (slots >= 0).astype(dtype)
+
+    def gat(a):
+        ap = jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)])
+        return ap[jnp.where(slots >= 0, slots, E3)]
+
+    # empty slots carry a unit plane: a zero 4-vector NaNs the (masked)
+    # plane-tangent jacobians, and NaN * 0 stays NaN (cf. build_ell_edges)
+    unit = jnp.zeros((4,), dtype).at[2].set(1.0)
+    return EllEdgesPlanes(
+        pt=build_ell_edges(edge_args, K, R3),
+        pl=gat(pe_p),
+        pmeas=jnp.where(valid[:, :, None] > 0, gat(pe_meas), unit),
+        pinfo=gat(pe_info) * valid[:, :, None, None],
+    )
+
+
+def ell_linearize_planes(
+    poses,
+    landmarks,
+    planes,
+    ee: EllEdgesPlanes,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+) -> EllBlocks:
+    """Merged point+plane blocks in per-pose layout: plane slots append
+    after the point slots with block ids offset by L, and everything
+    downstream (matvec, schur step, marginals) runs UNCHANGED on the
+    merged [K, R3+R4] grid — the per-pose analog of
+    build_edge_blocks_with_planes."""
+    from semantic_slam_tpu.graph.planes import _plane_edge_jac
+
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    Pl = planes.shape[0]
+    R4 = ee.pl.shape[1]
+    dtype = poses.dtype
+
+    eb = ell_linearize(
+        poses, landmarks, ee.pt, robust_kind=robust_kind,
+        robust_delta=robust_delta,
+    )
+
+    pl_flat = ee.pl.reshape(-1)
+    pw = _gather_l(pl_flat, planes, Pl).reshape(K, R4, 4)
+    # inactive plane-table rows can be all-zero; substitute a unit plane
+    # (the slot's info mask already zeroes its contribution)
+    unit = jnp.zeros((4,), dtype).at[2].set(1.0)
+    pw = jnp.where(
+        jnp.sum(pw[..., :3] * pw[..., :3], axis=-1, keepdims=True) > 1e-12,
+        pw, unit,
+    )
+    p_b = jnp.broadcast_to(poses[:, None, :], (K, R4, poses.shape[1]))
+    r_p, Jk, Jp = jax.vmap(jax.vmap(_plane_edge_jac))(p_b, pw, ee.pmeas)
+    p_info = ee.pinfo
+    chi_e = jnp.einsum("kra,krab,krb->kr", r_p, p_info, r_p)
+    chi_p = jnp.sum(robust_rho(chi_e.reshape(-1), robust_kind, robust_delta))
+    if robust_kind != "none":
+        w = robust_weight(
+            chi_e.reshape(-1), robust_kind, robust_delta
+        ).astype(dtype).reshape(K, R4)
+        p_info = p_info * w[:, :, None, None]
+    JkT_O = jnp.einsum("krai,krab->krib", Jk, p_info)
+    JpT_O = jnp.einsum("krai,krab->krib", Jp, p_info)
+    H_kk_p = jnp.einsum("kria,kraj->krij", JkT_O, Jk)
+    W_kp = jnp.einsum("kria,kraj->krij", JkT_O, Jp)
+    H_pp = jnp.einsum("kria,kraj->krij", JpT_O, Jp)
+    g_k = jnp.einsum("kria,kra->kri", JkT_O, r_p)
+    g_p = jnp.einsum("kria,kra->kri", JpT_O, r_p)
+
+    Hll_p = _seg_sum_l(pl_flat, H_pp.reshape(K * R4, 9), Pl).reshape(Pl, 3, 3)
+    gl_p = _seg_sum_l(pl_flat, g_p.reshape(K * R4, 3), Pl)
+
+    return EllBlocks(
+        ll=jnp.concatenate([eb.ll, ee.pl + L], axis=1),
+        H_ii=eb.H_ii, H_ij=eb.H_ij, H_jj=eb.H_jj,
+        H_kk=jnp.concatenate([eb.H_kk, H_kk_p], axis=1),
+        W_kl=jnp.concatenate([eb.W_kl, W_kp], axis=1),
+        Hll=jnp.concatenate([eb.Hll, Hll_p]),
+        gp=eb.gp + g_k.sum(axis=1),
+        gl=jnp.concatenate([eb.gl, gl_p]),
+        diag=eb.diag + H_kk_p.sum(axis=1),
+        chi2=eb.chi2 + chi_p,
+    )
+
+
+def run_lm_loop_pcg_ellk_planes(
+    poses,
+    landmarks,
+    planes,
+    edge_args: tuple,
+    plane_args: tuple,
+    pose_free,
+    lm_free,
+    plane_free,
+    max_iterations: int,
+    rel_tol: float,
+    max_cg_iters: int = 128,
+    init_lambda_tau: float = 1e-5,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+    precond_kind: str = "jacobi",
+    init_lambda=0.0,
+    prior=None,
+    ell_rows: tuple = (1, 1, 8, 8),
+    cg_tol: float = 1e-8,
+):
+    """run_lm_loop_pcg_planes on the per-pose layout."""
+    from semantic_slam_tpu.solver.plane_ba import plane_retract
+
+    dtype = poses.dtype
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    block_free = jnp.concatenate([lm_free, plane_free])
+    ee = build_ell_edges_planes(
+        edge_args, plane_args, K, ell_rows[2], ell_rows[3]
+    )
+
+    def build(p, l, pl):
+        eb = ell_linearize_planes(
+            p, l, pl, ee, robust_kind=robust_kind, robust_delta=robust_delta
+        )
+        if prior is not None:
+            eb = apply_prior_blocks_planes(eb, prior, p, l, pl)
+        return eb
+
+    eb0 = build(poses, landmarks, planes)
+    chi2_0 = eb0.chi2
+    diag_max = jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(eb0.diag, axis1=-2, axis2=-1))),
+        jnp.max(jnp.abs(jnp.diagonal(eb0.Hll, axis1=-2, axis2=-1))),
+    )
+    init_lambda = jnp.asarray(init_lambda, dtype)
+    lam0 = jnp.where(
+        init_lambda > 0, init_lambda, init_lambda_tau * jnp.maximum(diag_max, 1.0)
+    ).astype(dtype)
+
+    def retract_all(p, l, pl, dp, db):
+        p2 = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
+        l2 = l + db[:L].astype(l.dtype)
+        pl2 = jax.vmap(plane_retract)(pl, db[L:].astype(pl.dtype))
+        return p2, l2, pl2
+
+    def cond(carry):
+        _, _, _, _, _, _, it, done = carry
+        return (it < max_iterations) & jnp.logical_not(done)
+
+    def body(carry):
+        p, l, pl, eb, lam, nu, it, done = carry
+        dp, db = ell_schur_step(
+            eb, lam, pose_free, block_free, max_cg_iters,
+            precond_kind=precond_kind, prior=prior, cg_tol=cg_tol,
+        )
+        p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
+        eb_new = build(p_new, l_new, pl_new)
+        chi2_new = eb_new.chi2
+
+        delta = jnp.concatenate([dp.reshape(-1), db.reshape(-1)])
+        gvec = jnp.concatenate([eb.gp.reshape(-1), eb.gl.reshape(-1)])
+        pred = lam * jnp.dot(delta, delta) - jnp.dot(delta, gvec)
+        rho = (eb.chi2 - chi2_new) / jnp.maximum(pred, 1e-12)
+        finite = jnp.isfinite(chi2_new) & jnp.all(jnp.isfinite(delta))
+        accept = (rho > 0) & finite
+
+        p = jnp.where(accept, p_new, p)
+        l = jnp.where(accept, l_new, l)
+        pl = jnp.where(accept, pl_new, pl)
+        lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam = jnp.where(accept, lam_acc, lam * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        converged = accept & (
+            (eb.chi2 - chi2_new) <= rel_tol * jnp.maximum(eb.chi2, 1e-12)
+        )
+        done = converged | (lam > 1e12)
+        eb = jax.tree.map(lambda a, b: jnp.where(accept, a, b), eb_new, eb)
+        return p, l, pl, eb, lam, nu, it + 1, done
+
+    init = (
+        poses, landmarks, planes, eb0, lam0,
+        jnp.asarray(2.0, dtype), jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+    )
+    p, l, pl, eb_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    return p, l, pl, LMStats(it, chi2_0, eb_f.chi2, lam), eb_f
+
+
 def landmark_marginals_mf_ellk(
     eb: EllBlocks, pose_free, block_free, prior=None
 ) -> jax.Array:
@@ -1595,17 +1798,33 @@ def lm_optimize_pcg_planes(
     ``graph/planes.lm_optimize_with_planes`` on the scaling path).
     ``with_marginals=True`` also returns the POINT-landmark marginal blocks
     (the first L of the merged point+plane block system) computed
-    matrix-free from the final edge blocks."""
+    matrix-free from the final edge blocks. ``ell_rows`` (a 4-tuple —
+    (R_oi, R_oj, R_lk, R_pe)) selects the per-pose ELL fast path."""
+    from semantic_slam_tpu.solver.assembly import resolve_assembly
+
     pose_free, lm_free = _free_masks(g)
     plane_args = (pn.pe_k, pn.pe_p, pn.pe_meas, pn.pe_info, pn.pe_mask())
-    poses, landmarks, planes, stats, eb_f = run_lm_loop_pcg_planes(
-        g.poses, g.landmarks, pn.planes, _edge_args(g), plane_args,
-        pose_free, lm_free, pn.plane_mask(), lambda x: x,
-        max_iterations, rel_tol, max_cg_iters,
-        robust_kind=robust_kind, robust_delta=robust_delta,
-        precond_kind=precond_kind, init_lambda=init_lambda, prior=prior,
-        assembly=assembly, ell_rows=ell_rows,
+    kind = resolve_assembly(
+        assembly, ell_ok=ell_rows is not None and len(ell_rows) >= 4
     )
+    if kind == "ell":
+        poses, landmarks, planes, stats, eb_f = run_lm_loop_pcg_ellk_planes(
+            g.poses, g.landmarks, pn.planes, _edge_args(g), plane_args,
+            pose_free, lm_free, pn.plane_mask(),
+            max_iterations, rel_tol, max_cg_iters,
+            robust_kind=robust_kind, robust_delta=robust_delta,
+            precond_kind=precond_kind, init_lambda=init_lambda, prior=prior,
+            ell_rows=ell_rows,
+        )
+    else:
+        poses, landmarks, planes, stats, eb_f = run_lm_loop_pcg_planes(
+            g.poses, g.landmarks, pn.planes, _edge_args(g), plane_args,
+            pose_free, lm_free, pn.plane_mask(), lambda x: x,
+            max_iterations, rel_tol, max_cg_iters,
+            robust_kind=robust_kind, robust_delta=robust_delta,
+            precond_kind=precond_kind, init_lambda=init_lambda, prior=prior,
+            assembly=kind,
+        )
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(
         poses=jnp.where(run, poses, g.poses),
@@ -1621,9 +1840,14 @@ def lm_optimize_pcg_planes(
     if with_marginals:
         L = g.landmarks.shape[0]
         block_free = jnp.concatenate([lm_free, pn.plane_mask()])
-        marg = landmark_marginals_mf(
-            eb_f, pose_free, block_free, prior=prior
-        )[:L]
+        if kind == "ell":
+            marg = landmark_marginals_mf_ellk(
+                eb_f, pose_free, block_free, prior=prior
+            )[:L]
+        else:
+            marg = landmark_marginals_mf(
+                eb_f, pose_free, block_free, prior=prior
+            )[:L]
         return g, pn, stats, marg
     return g, pn, stats
 

@@ -98,6 +98,29 @@ class TestEllEngineContract:
         eng = _run(_cfg(linear_solver="pcg", pcg_iters=32, fixed_lag_window=8))
         _check_invariant(eng)
 
+    def test_forced_ell_planes_engine_matches_scatter(self, monkeypatch):
+        """Planar-patch sessions route through the merged per-pose layout
+        (run_lm_loop_pcg_ellk_planes) — same trajectory as scatter."""
+        from semantic_slam_tpu.solver import assembly as asm
+
+        import dataclasses
+
+        def cfg():
+            c = _cfg(linear_solver="pcg", pcg_iters=32)
+            return dataclasses.replace(c, use_plane_landmarks=True)
+
+        ref = _run(cfg(), n_steps=120)
+        monkeypatch.setattr(asm, "_ENV_FORCED", "ell")
+        jax.clear_caches()
+        try:
+            eng = _run(cfg(), n_steps=120)
+        finally:
+            monkeypatch.undo()
+            jax.clear_caches()
+        a = np.asarray(ref.graph.poses, np.float64)
+        b = np.asarray(eng.graph.poses, np.float64)
+        np.testing.assert_allclose(b, a, atol=1e-8)
+
     def test_forced_ell_engine_matches_scatter(self, monkeypatch):
         """SLAM_ASSEMBLY=ell on this session must reproduce the default
         (scatter) trajectory — the TPU default path, checked on CPU."""
