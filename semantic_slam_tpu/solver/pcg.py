@@ -910,22 +910,53 @@ def build_ell_edges(edge_args: tuple, K: int, R: int) -> EllEdges:
     )
 
 
+def _dus_rows(block, offset, K):
+    """Embed a shard's [Kb(+1), ...] row block at ``offset`` of a zeroed
+    global [K, ...] array (the +1 row carries a chain contribution that
+    spills into the next shard; overlaps merge in the caller's psum)."""
+    out = jnp.zeros((K + 1,) + block.shape[1:], block.dtype)
+    off = jnp.asarray(offset, jnp.int32)
+    zeros = (jnp.zeros((), jnp.int32),) * (block.ndim - 1)
+    out = jax.lax.dynamic_update_slice(out, block, (off,) + zeros)
+    return out[:K]
+
+
 def ell_linearize(
     poses,
     landmarks,
     ee: EllEdges,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    allreduce: Callable = lambda x: x,
+    shard: tuple | None = None,
 ) -> EllBlocks:
-    """build_edge_blocks in per-pose layout: no pose-side indexed ops."""
-    K = poses.shape[0]
+    """build_edge_blocks in per-pose layout: no pose-side indexed ops.
+
+    With ``shard=(offset, K_global)`` (a traced offset, under shard_map),
+    ``ee`` holds this shard's CONTIGUOUS row slice [Kb, ...] of the global
+    per-pose grid and ``poses``/``landmarks`` are replicated; the returned
+    Hll/gp/gl/diag/chi2 are GLOBAL (allreduce'd — chain j-contributions
+    that spill one row past the shard merge in the psum), while the
+    per-edge blocks (H_**, W_kl, ll) stay shard-local.
+    """
+    Kfull = poses.shape[0]
     L = landmarks.shape[0]
     R = ee.ll.shape[1]
     dtype = poses.dtype
-
-    # chain odometry: edge k joins (k, k+1); roll brings pose k+1 to row k
-    # (the wrapped last row is zero-masked via o_info/o_w)
-    pj = jnp.roll(poses, -1, axis=0)
+    Kb = ee.ll.shape[0]
+    if shard is not None:
+        offset, _ = shard
+        poses_all = poses
+        # rows [offset, offset+Kb+1): local poses plus the chain successor
+        pp = jnp.concatenate([poses_all, poses_all[-1:]], axis=0)
+        p_ext = jax.lax.dynamic_slice_in_dim(pp, offset, Kb + 1, axis=0)
+        poses = p_ext[:-1]
+        pj = p_ext[1:]
+    else:
+        # chain odometry: edge k joins (k, k+1); roll brings pose k+1 to
+        # row k (the wrapped last row is zero-masked via o_info/o_w)
+        pj = jnp.roll(poses, -1, axis=0)
+    K = Kb
     r_o, Ji, Jj = jax.vmap(res.se3_edge_residual_jac)(poses, pj, ee.o_meas)
     JiT_O = jnp.einsum("kai,kab->kib", Ji, ee.o_info)
     JjT_O = jnp.einsum("kai,kab->kib", Jj, ee.o_info)
@@ -961,41 +992,77 @@ def ell_linearize(
     g_k = jnp.einsum("kria,kra->kri", JpT_O, r_l)
     g_l = jnp.einsum("kria,kra->kri", JlT_O, r_l)
 
-    Hll = _seg_sum_l(ll_flat, H_ll_e.reshape(K * R, 9), L).reshape(L, 3, 3)
-    gl = _seg_sum_l(ll_flat, g_l.reshape(K * R, 3), L)
-    gp = g_i + _shift_down(g_j) + g_k.sum(axis=1)
-    diag = H_ii + _shift_down(H_jj) + H_kk.sum(axis=1)
+    Hll = allreduce(
+        _seg_sum_l(ll_flat, H_ll_e.reshape(K * R, 9), L).reshape(L, 3, 3)
+    )
+    gl = allreduce(_seg_sum_l(ll_flat, g_l.reshape(K * R, 3), L))
+    if shard is not None:
+        offset, Kg = shard
+        pad1 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0
+        )
+        pad0 = lambda a: jnp.concatenate(
+            [jnp.zeros((1,) + a.shape[1:], a.dtype), a], axis=0
+        )
+        gp = allreduce(
+            _dus_rows(pad1(g_i + g_k.sum(axis=1)) + pad0(g_j), offset, Kg)
+        )
+        diag = allreduce(
+            _dus_rows(pad1(H_ii + H_kk.sum(axis=1)) + pad0(H_jj), offset, Kg)
+        )
+    else:
+        gp = g_i + _shift_down(g_j) + g_k.sum(axis=1)
+        diag = H_ii + _shift_down(H_jj) + H_kk.sum(axis=1)
     return EllBlocks(
         ll=ee.ll, H_ii=H_ii, H_ij=H_ij, H_jj=H_jj, H_kk=H_kk, W_kl=W_kl,
-        Hll=Hll, gp=gp, gl=gl, diag=diag, chi2=chi_o + chi_l,
+        Hll=Hll, gp=gp, gl=gl, diag=diag, chi2=allreduce(chi_o + chi_l),
     )
 
 
-def ell_matvec(eb: EllBlocks, Ainv, lam, pf, x, prior=None):
-    """Damped reduced-operator application, all pose ops elementwise."""
-    K, R = eb.ll.shape
+def ell_matvec(
+    eb: EllBlocks, Ainv, lam, pf, x, prior=None,
+    allreduce: Callable = lambda a: a, shard: tuple | None = None,
+):
+    """Damped reduced-operator application, all pose ops elementwise.
+
+    With ``shard=(offset, K_global)``: eb holds this shard's row slice,
+    ``x``/``pf`` are replicated [K_global, ...]; the result is the GLOBAL
+    damped matvec (one [L,3] + one [6K] allreduce per application)."""
+    Kb, R = eb.ll.shape
     L = Ainv.shape[0]
     dtype = x.dtype
     x = x * pf[:, None]
     ll_flat = eb.ll.reshape(-1)
 
-    wx = jnp.einsum("krij,ki->krj", eb.W_kl, x)  # W^T x per slot
-    t = _seg_sum_l(ll_flat, wx.reshape(K * R, 3), L)
+    if shard is not None:
+        offset, Kg = shard
+        xp_ = jnp.concatenate([x, jnp.zeros((1, 6), dtype)], axis=0)
+        x_ext = jax.lax.dynamic_slice_in_dim(xp_, offset, Kb + 1, axis=0)
+        x_loc, xj = x_ext[:-1], x_ext[1:]
+    else:
+        x_loc = x
+        xj = jnp.roll(x, -1, axis=0)  # pose k+1 at row k (masked blocks)
+
+    wx = jnp.einsum("krij,ki->krj", eb.W_kl, x_loc)  # W^T x per slot
+    t = allreduce(_seg_sum_l(ll_flat, wx.reshape(Kb * R, 3), L))
     z = jnp.einsum("lij,lj->li", Ainv, t)
-    zb = _gather_l(ll_flat, z, L).reshape(K, R, 3)
-    vk = jnp.einsum("krij,kj->kri", eb.H_kk, x) - jnp.einsum(
+    zb = _gather_l(ll_flat, z, L).reshape(Kb, R, 3)
+    vk = jnp.einsum("krij,kj->kri", eb.H_kk, x_loc) - jnp.einsum(
         "krij,krj->kri", eb.W_kl, zb
     )
-    u = vk.sum(axis=1)
-
-    xj = jnp.roll(x, -1, axis=0)  # pose k+1 at row k (masked blocks)
-    vi = jnp.einsum("kij,kj->ki", eb.H_ii, x) + jnp.einsum(
+    vi = jnp.einsum("kij,kj->ki", eb.H_ii, x_loc) + jnp.einsum(
         "kij,kj->ki", eb.H_ij, xj
     )
-    vj = jnp.einsum("kji,kj->ki", eb.H_ij, x) + jnp.einsum(
+    vj = jnp.einsum("kji,kj->ki", eb.H_ij, x_loc) + jnp.einsum(
         "kij,kj->ki", eb.H_jj, xj
     )
-    u = u + vi + _shift_down(vj)
+    own = vk.sum(axis=1) + vi
+    if shard is not None:
+        pad1 = jnp.concatenate([own, jnp.zeros((1, 6), dtype)], axis=0)
+        pad0 = jnp.concatenate([jnp.zeros((1, 6), dtype), vj], axis=0)
+        u = allreduce(_dus_rows(pad1 + pad0, offset, Kg))
+    else:
+        u = own + _shift_down(vj)
 
     if prior is not None:
         PB = prior.p_idx.shape[0]
@@ -1021,10 +1088,14 @@ def ell_schur_step(
     precond_kind: str = "jacobi",
     prior=None,
     cg_tol: float = 1e-8,
+    allreduce: Callable = lambda a: a,
+    shard: tuple | None = None,
 ):
-    """schur_pcg_step in per-pose layout (single-chip)."""
+    """schur_pcg_step in per-pose layout (single-chip, or pose-row-sharded
+    with ``shard=(offset, K_global)`` — CG state replicated, matvec
+    distributed, [6K]+[3L]-class allreduces only)."""
     dtype = eb.gp.dtype
-    K, R = eb.ll.shape
+    Kb, R = eb.ll.shape
     L = eb.Hll.shape[0]
     pf = pose_free.astype(dtype)
     lmf = block_free.astype(dtype)
@@ -1038,7 +1109,19 @@ def ell_schur_step(
 
         D = eb.diag + lam * eye6[None]
         D = D * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
-        fac = td.pcr_factor(D, _ell_chain_upper(eb, pose_free))
+        if shard is not None:
+            offset, Kg = shard
+            pf_loc = jax.lax.dynamic_slice_in_dim(pf, offset, Kb, axis=0)
+            pfn = jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate([pf[1:], jnp.zeros((1,), dtype)]),
+                offset, Kb, axis=0,
+            )
+            up_loc = eb.H_ij * (pf_loc * pfn)[:, None, None]
+            upper = allreduce(_dus_rows(up_loc, offset, Kg))
+            upper = upper.at[Kg - 1].set(0.0)
+        else:
+            upper = _ell_chain_upper(eb, pose_free)
+        fac = td.pcr_factor(D, upper)
 
         def precond(r):
             return td.pcr_solve(fac, r) * pf[:, None]
@@ -1048,8 +1131,12 @@ def ell_schur_step(
     Ainv = inv33(A)
     gl = eb.gl * lmf[:, None]
     y = jnp.einsum("lij,lj->li", Ainv, gl)
-    yb = _gather_l(ll_flat, y, L).reshape(K, R, 3)
-    c = jnp.einsum("krij,krj->kri", eb.W_kl, yb).sum(axis=1)
+    yb = _gather_l(ll_flat, y, L).reshape(Kb, R, 3)
+    c_loc = jnp.einsum("krij,krj->kri", eb.W_kl, yb).sum(axis=1)
+    if shard is not None:
+        c = allreduce(_dus_rows(c_loc, shard[0], shard[1]))
+    else:
+        c = c_loc
     b = -(eb.gp - c) * pf[:, None]
 
     if precond is None:
@@ -1074,7 +1161,10 @@ def ell_schur_step(
 
     def body(carry):
         x, r, p, rz, it = carry
-        Ap = ell_matvec(eb, Ainv, lam, pf, p, prior=prior)
+        Ap = ell_matvec(
+            eb, Ainv, lam, pf, p, prior=prior, allreduce=allreduce,
+            shard=shard,
+        )
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -1089,8 +1179,12 @@ def ell_schur_step(
     )
 
     dpk = dp * pf[:, None]
-    wd = jnp.einsum("krij,ki->krj", eb.W_kl, dpk)
-    t = _seg_sum_l(ll_flat, wd.reshape(K * R, 3), L)
+    if shard is not None:
+        dpk_loc = jax.lax.dynamic_slice_in_dim(dpk, shard[0], Kb, axis=0)
+    else:
+        dpk_loc = dpk
+    wd = jnp.einsum("krij,ki->krj", eb.W_kl, dpk_loc)
+    t = allreduce(_seg_sum_l(ll_flat, wd.reshape(Kb * R, 3), L))
     db = jnp.einsum("lij,lj->li", Ainv, (-gl - t)) * lmf[:, None]
     return dp, db
 
@@ -1112,14 +1206,21 @@ def run_lm_loop_pcg_ellk(
     prior=None,
     ell_rows: tuple = (1, 1, 8),
     cg_tol: float = 1e-8,
+    allreduce: Callable = lambda a: a,
+    shard: tuple | None = None,
+    ee: EllEdges | None = None,
 ):
-    """run_lm_loop_pcg on the per-pose layout (single-chip fast path)."""
+    """run_lm_loop_pcg on the per-pose layout. Single-chip by default;
+    under shard_map pass ``allreduce`` (psum), ``shard=(offset, K_global)``
+    and the shard's row slice ``ee`` (built globally outside the mesh)."""
     dtype = poses.dtype
-    ee = build_ell_edges(edge_args, poses.shape[0], ell_rows[2])
+    if ee is None:
+        ee = build_ell_edges(edge_args, poses.shape[0], ell_rows[2])
 
     def build(p, l):
         eb = ell_linearize(
-            p, l, ee, robust_kind=robust_kind, robust_delta=robust_delta
+            p, l, ee, robust_kind=robust_kind, robust_delta=robust_delta,
+            allreduce=allreduce, shard=shard,
         )
         if prior is not None:
             eb = apply_prior_blocks(eb, prior, p, l)
@@ -1145,6 +1246,7 @@ def run_lm_loop_pcg_ellk(
         dp, dl = ell_schur_step(
             eb, lam, pose_free, lm_free, max_cg_iters,
             precond_kind=precond_kind, prior=prior, cg_tol=cg_tol,
+            allreduce=allreduce, shard=shard,
         )
         p_new = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
         l_new = l + dl.astype(l.dtype)
@@ -1984,14 +2086,79 @@ def sharded_lm_optimize_pcg(
     post-psum on every shard. ``with_marginals=True`` runs the matrix-free
     marginal recovery inside the mesh from the final shard-local edge blocks
     (one [K,6,3L]-class psum per recovery, not per step) and returns the
-    replicated [L,3,3] blocks."""
+    replicated [L,3,3] blocks.
+
+    With ``ell_rows`` (and no marginals) the solve runs on the per-pose ELL
+    grid sharded by POSE ROWS: the grid is built once outside the mesh,
+    each shard owns a contiguous [K/n, R] slice, CG state is replicated and
+    the matvec distributed — identical [6K]+[3L] collective sizes, but the
+    shard-local compute is the broadcast/sum fast path instead of
+    slot gathers."""
     from jax.sharding import PartitionSpec as P
+
+    from semantic_slam_tpu.solver.assembly import resolve_assembly
 
     n = mesh.shape[axis_name]
     assert g.odom_i.shape[0] % n == 0 and g.lme_k.shape[0] % n == 0
 
     pose_free, lm_free = _free_masks(g)
     edge_args = _edge_args(g)
+
+    kind = resolve_assembly(assembly, ell_ok=ell_rows is not None)
+    if kind == "ell" and not with_marginals:
+        K = g.poses.shape[0]
+        assert K % n == 0, "pose-row ELL sharding needs K divisible by n"
+        Kb = K // n
+        ee = build_ell_edges(edge_args, K, ell_rows[2])
+
+        def body_ell(poses, landmarks, pose_free, lm_free, prior, ee_loc):
+            off = jax.lax.axis_index(axis_name) * Kb
+            p, l, stats, _ = run_lm_loop_pcg_ellk(
+                poses, landmarks, (), pose_free, lm_free,
+                max_iterations, rel_tol, max_cg_iters,
+                precond_kind=precond_kind, prior=prior, ell_rows=ell_rows,
+                allreduce=lambda a: jax.lax.psum(a, axis_name),
+                shard=(off, K), ee=ee_loc,
+            )
+            return p, l, stats
+
+        def body_ell_np(poses, landmarks, pose_free, lm_free, ee_loc):
+            return body_ell(poses, landmarks, pose_free, lm_free, None, ee_loc)
+
+        prior_spec = (
+            None if prior is None else type(prior)(*(P() for _ in prior))
+        )
+        ee_spec = EllEdges(*(P(axis_name) for _ in ee))
+        sharded = jax.shard_map(
+            body_ell_np if prior is None else body_ell,
+            mesh=mesh,
+            in_specs=(
+                (P(), P(), P(), P()) + ((ee_spec,) if prior is None
+                                        else (prior_spec, ee_spec))
+            ),
+            out_specs=(P(), P(), LMStats(P(), P(), P(), P())),
+            check_vma=False,
+        )
+        if prior is None:
+            poses, landmarks, stats = sharded(
+                g.poses, g.landmarks, pose_free, lm_free, ee
+            )
+        else:
+            poses, landmarks, stats = sharded(
+                g.poses, g.landmarks, pose_free, lm_free, prior, ee
+            )
+        run = g.num_edges() >= min_edges
+        g = g._replace(
+            poses=jnp.where(run, poses, g.poses),
+            landmarks=jnp.where(run, landmarks, g.landmarks),
+        )
+        stats = LMStats(
+            iterations=jnp.where(run, stats.iterations, 0),
+            chi2_initial=stats.chi2_initial,
+            chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
+            lambda_final=stats.lambda_final,
+        )
+        return g, stats
 
     def body(poses, landmarks, pose_free, lm_free, prior, *edges):
         allreduce = lambda x: jax.lax.psum(x, axis_name)

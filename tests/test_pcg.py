@@ -353,6 +353,34 @@ class TestMarginalsMF:
                     f"O(K+L) budget {limit} — an O(K^2) collective crept in"
                 )
 
+    def test_collective_sizes_pose_row_ell(self, rng):
+        """Same O(K+L) pin for the pose-row-sharded per-pose ELL path."""
+        from semantic_slam_tpu.parallel.sharded import make_mesh
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        mesh = make_mesh(4)
+
+        def run(g):
+            return pcg_mod.sharded_lm_optimize_pcg(
+                g, mesh, max_cg_iters=64, assembly="ell", ell_rows=ell_rows
+            )
+
+        jaxpr = jax.make_jaxpr(run)(g)
+        eqns = _walk_jaxpr(jaxpr.jaxpr, [])
+        psums = [e for e in eqns if "psum" in e.primitive.name]
+        assert psums, "no psum collectives found in the sharded ELL program"
+        limit = max(K * 36, L * 9)
+        for e in psums:
+            for v in e.invars:
+                sz = int(np.prod(getattr(v.aval, "shape", ()) or (1,)))
+                assert sz <= limit, (
+                    f"psum payload {v.aval.shape} ({sz} elems) exceeds the "
+                    f"O(K+L) budget {limit}"
+                )
+
 
 def _sort_obs_edges(g):
     """Reorder a graph's observation edges into the engine's construction
