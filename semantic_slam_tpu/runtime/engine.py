@@ -1250,13 +1250,26 @@ class SlamEngine:
                         odoms[b] = r.odom.astype(self._npdt)
                     valid = np.zeros((B,), bool)
                     valid[: len(run)] = True
+                    if self.cfg.information.use_const_inf_matrix:
+                        info_arg = self._info6
+                    else:
+                        # per-edge fitness info: row b's edge pairs row b-1
+                        # (row 0 pairs the last ingested keyframe)
+                        pv = [self.keyframes[-1] if self.keyframes else None]
+                        pv += list(run[:-1])
+                        rows = [
+                            np.asarray(self._edge_info6(r, prev_kf=p))
+                            for r, p in zip(run, pv)
+                        ]
+                        rows += [rows[-1]] * (B - len(run))
+                        info_arg = np.stack(rows).astype(self._npdt)
                     self.graph = _ingest_keyframes_batch(
                         self.graph,
                         odoms,
                         valid,
                         np.asarray(prev_odom, self._npdt),
                         has_prev,
-                        self._info6,
+                        info_arg,
                     )
                 for b, r in enumerate(run):
                     r.node_idx = self._n_poses + self._kf_base
@@ -1389,8 +1402,10 @@ class SlamEngine:
 
     # ------------------------------------------------------------------
 
-    def _kf_call_args(self, kf: KeyframeMeta, prev_odom, has_prev):
-        """Positional args + static kwargs for the detection-keyframe program."""
+    def _kf_call_args(self, kf: KeyframeMeta, prev_odom, has_prev, prev_kf="auto"):
+        """Positional args + static kwargs for the detection-keyframe program.
+        ``prev_kf`` threads the edge's predecessor keyframe to ``_edge_info6``
+        (window rows pair with the preceding ROW, not ``keyframes[-1]``)."""
         cfg = self.cfg
         seg = cfg.segmentation
         a = cfg.association
@@ -1421,7 +1436,7 @@ class SlamEngine:
             kf.odom.astype(npdt),
             np.asarray(prev_odom, npdt),
             has_prev,
-            self._edge_info6(kf),
+            self._edge_info6(kf, prev_kf=prev_kf),
             points_arg,
             valid_arg,
             cam_intr,
@@ -1493,22 +1508,42 @@ class SlamEngine:
         B = 2
         while B < n:
             B *= 2
-        args0, statics = self._kf_call_args(run[0], prev_odom, has_prev)
+        # predecessor chain for per-edge information: row b pairs with row
+        # b-1 (row 0 with the last already-ingested keyframe) — the
+        # fitness-weighted path (use_const_inf_matrix=False) computes each
+        # edge's info from ITS OWN consecutive cloud pair, exactly like the
+        # per-tick path (information_matrix_calculator.cpp:37-50 semantics
+        # wherever edges are built)
+        prev_chain = [self.keyframes[-1] if self.keyframes else None] + list(
+            run[:-1]
+        )
+        args0, statics = self._kf_call_args(
+            run[0], prev_odom, has_prev, prev_kf=prev_chain[0]
+        )
         per_kf = [args0] + [
-            self._kf_call_args(k, prev_odom, has_prev)[0] for k in run[1:]
+            self._kf_call_args(k, prev_odom, has_prev, prev_kf=pv)[0]
+            for k, pv in zip(run[1:], prev_chain[1:])
         ]
 
         def stack(idx):
-            rows = [p[idx] for p in per_kf]
+            rows = [np.asarray(p[idx]) for p in per_kf]
             rows += [rows[-1]] * (B - n)
             return np.stack(rows)
 
         row_valid = np.zeros((B,), bool)
         row_valid[:n] = True
+        # constant-info mode keeps the broadcastable [6,6] (the compiled
+        # program signature every parity session uses); the opt-in fitness
+        # path ships the per-row [B,6,6] stack
+        info_arg = (
+            self._info6
+            if self.cfg.information.use_const_inf_matrix
+            else stack(3).astype(self._npdt)
+        )
         self.graph, self.table, dets = _process_keyframes_window(
             self.graph, self.table,
             stack(0), row_valid, np.int32(n - 1),
-            np.asarray(prev_odom, self._npdt), has_prev, self._info6,
+            np.asarray(prev_odom, self._npdt), has_prev, info_arg,
             stack(4), stack(5), args0[6], args0[7],
             stack(8), stack(9), stack(10), stack(11),
             *args0[12:], **statics,
@@ -1564,7 +1599,7 @@ class SlamEngine:
         is off, keeping those programs byte-identical to the parity build."""
         return self.prior if self.cfg.solver.fixed_lag_window > 0 else None
 
-    def _edge_info6(self, kf: KeyframeMeta):
+    def _edge_info6(self, kf: KeyframeMeta, prev_kf="auto"):
         """Per-edge odometry information: the constant matrix (reference
         default, quirk 3) or — opt-in, ``use_const_inf_matrix=False`` — the
         fitness-weighted matrix from consecutive keyframes' clouds
@@ -1572,11 +1607,17 @@ class SlamEngine:
         with uninitialized parameters, docs/PARITY.md). Costs one small
         device program + scalar fetch per keyframe on the opt-in path;
         falls back to the constant when either keyframe lacks an xyz cloud
-        (depth-image mode included)."""
+        (depth-image mode included). ``prev_kf`` names the edge's OTHER
+        keyframe explicitly (batch/window rows, whose predecessor is the
+        preceding row, not ``keyframes[-1]``); the default resolves to the
+        last ingested keyframe — the per-tick case."""
         inf = self.cfg.information
         if inf.use_const_inf_matrix:
             return self._info6
-        prev = self.keyframes[-1] if self.keyframes else None
+        if prev_kf == "auto":
+            prev = self.keyframes[-1] if self.keyframes else None
+        else:
+            prev = prev_kf
         if (
             prev is None or prev.cloud is None or kf.cloud is None
             or kf.depth_intr is not None or prev.depth_intr is not None

@@ -23,7 +23,14 @@ import jax.numpy as jnp
 # trace time under a static 'auto' argument, so a mid-process env flip would
 # be silently ignored by already-compiled signatures — set SLAM_ASSEMBLY
 # before the process starts (it is a process-level knob, not per-call).
+_VALID_KINDS = ("ell", "matmul", "scatter")
 _ENV_FORCED = os.environ.get("SLAM_ASSEMBLY", "")
+if _ENV_FORCED and _ENV_FORCED not in _VALID_KINDS:
+    # an unrecognized value must fail loudly at import, not silently fall
+    # through every caller's if/elif chain to the scatter path on TPU
+    raise ValueError(
+        f"SLAM_ASSEMBLY={_ENV_FORCED!r} is not one of {_VALID_KINDS}"
+    )
 
 
 def resolve_assembly(kind: str, ell_ok: bool = False) -> str:
@@ -151,6 +158,20 @@ def build_slots(idx: jax.Array, mask: jax.Array, n: int, r: int) -> jax.Array:
     hi = jnp.searchsorted(key, rows, side="right").astype(jnp.int32)
     slots = lo[:, None] + jnp.arange(r, dtype=jnp.int32)[None, :]
     return jnp.where(slots < hi[:, None], slots, -1)
+
+
+def count_uncovered(idx: jax.Array, mask: jax.Array, n: int, r: int) -> jax.Array:
+    """Number of REAL edges ``build_slots(idx, mask, n, r)`` would silently
+    drop (contract violations: per-pose count above ``r``, or unsorted /
+    out-of-range indices in the masked prefix). The engine's construction
+    invariants guarantee 0; tests assert it so a future edge type that breaks
+    the contract fails loudly instead of corrupting TPU solves silently."""
+    slots = build_slots(idx, mask, n, r)
+    covered = jnp.zeros((idx.shape[0] + 1,), jnp.int32)
+    covered = covered.at[jnp.where(slots >= 0, slots, idx.shape[0])].set(
+        1, mode="drop"
+    )
+    return jnp.sum(mask.astype(jnp.int32)) - jnp.sum(covered[:-1])
 
 
 def slot_sum(vals: jax.Array, slots: jax.Array) -> jax.Array:

@@ -284,6 +284,31 @@ def landmark_marginals_prior(g: GraphState, prior: MarginalPrior) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _quad_min_dense(H: jax.Array, g: jax.Array, dtype) -> jax.Array:
+    """min over e of  2 g.e + e^T H e  =  -g^T H^+ g  for PSD H (masked
+    slots carry g=0). Zero diagonal blocks get identity so the solve is
+    well-posed; a tiny ridge guards near-singular directions."""
+    n = H.shape[0]
+    d = jnp.diagonal(H)
+    fix = (jnp.abs(d) < 1e-10).astype(dtype)
+    Hr = H + jnp.diag(fix) + 1e-8 * jnp.maximum(jnp.max(d), 1.0) * jnp.eye(
+        n, dtype=dtype
+    )
+    c, low = jax.scipy.linalg.cho_factor(Hr)
+    return -jnp.dot(g, jax.scipy.linalg.cho_solve((c, low), g))
+
+
+def _quad_min33(H: jax.Array, g: jax.Array) -> jax.Array:
+    """_quad_min_dense for one 3x3 block (vmapped over landmarks/planes)."""
+    dtype = H.dtype
+    d = jnp.diagonal(H)
+    fix = (jnp.abs(d) < 1e-10).astype(dtype)
+    Hr = H + jnp.diag(fix) + 1e-8 * jnp.maximum(jnp.max(d), 1.0) * jnp.eye(
+        3, dtype=dtype
+    )
+    return -jnp.dot(g, jnp.linalg.solve(Hr, g))
+
+
 def _stable_partition(keep: jax.Array) -> jax.Array:
     """Permutation putting kept slots first, original order preserved."""
     n = keep.shape[0]
@@ -467,6 +492,29 @@ def _marginalize_impl(
     # symmetrize (cho_solve round-off)
     Hp_new = 0.5 * (Hp_new + Hp_new.T)
 
+    c0_new = c_pose + lchi + c_anchor + plchi + c_anchor_pl
+    # Non-negativity lift: the exact Schur constant is >= 0 for an exact
+    # quadratic, but the cross-term sparsification (module docstring) and the
+    # nonlinear SE(3)/plane re-centering make the carried quadratic's minimum
+    # dip below zero — which then prints a negative total chi2 in health
+    # output and defeats any chi2 >= 0 plausibility assert. The prior's
+    # pose/landmark/plane parts are separable, so the minimum is cheap to
+    # evaluate once here; lifting c0 by its negative part shifts every
+    # chi2 report by a constant (LM gain ratios difference it away) and
+    # guarantees chi2_prior >= 0 everywhere.
+    qmin = (
+        c0_new
+        + _quad_min_dense(Hp_new, gp_new, dtype)
+        + jnp.sum(jax.vmap(_quad_min33)(Hl_new, gl0_new))
+        + (
+            jnp.sum(jax.vmap(_quad_min33)(Hpl_new, gpl0_new))
+            if Hpl_new.shape[0] > 0
+            else jnp.zeros((), dtype)
+        )
+    )
+    # the margin is relative: f32 cancellation in qmin scales with its size
+    c0_new = c0_new - jnp.minimum(qmin, 0.0) + 1e-5 * (1.0 + jnp.abs(qmin))
+
     prior_new = MarginalPrior(
         p_idx=jnp.where(b_act.astype(bool), b_idx - drop, 0).astype(jnp.int32),
         p_ref=jnp.where(
@@ -480,7 +528,7 @@ def _marginalize_impl(
         Hl=Hl_new,
         l_ref=landmarks,
         gl0=gl0_new,
-        c0=c_pose + lchi + c_anchor + plchi + c_anchor_pl,
+        c0=c0_new,
         Hpl=Hpl_new,
         pl_ref=pn.planes if pn is not None else prior.pl_ref,
         gpl0=gpl0_new,

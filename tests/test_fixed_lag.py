@@ -151,6 +151,39 @@ def test_pcg_prior_matches_dense_prior(optimized_graph):
     assert float(sp.chi2_final) == pytest.approx(float(sd.chi2_final), rel=1e-2)
 
 
+def test_prior_chi2_nonnegative_unconverged():
+    """Marginalizing an UNCONVERGED graph (the MULTICHIP dryrun scenario that
+    once printed chi2 -> -0.506): the c0 lift in _marginalize_impl must keep
+    every chi2 report non-negative — the prior quadratic's minimum is >= 0 by
+    construction, and all edge terms are sums of squares."""
+    from semantic_slam_tpu.solver import pcg as pcg_mod
+
+    g = _build_graph(K=16, L=8, E2=32, dtype=jnp.float32, noise=0.05, seed=3)
+    g2, prior, _ = fl.marginalize(g, fl.empty_prior(L=8), drop=4)
+    # prior factor itself: non-negative at its own minimum and at the current
+    # estimate
+    assert float(fl.prior_chi2(prior, g2.poses, g2.landmarks)) >= 0.0
+    g3, stats = pcg_mod.lm_optimize_pcg(g2, prior=prior, max_iterations=4)
+    assert float(stats.chi2_initial) >= 0.0
+    assert float(stats.chi2_final) >= 0.0
+    gd, sd = fl.lm_optimize_prior(g2, prior, max_iterations=4)
+    assert float(sd.chi2_initial) >= 0.0
+    assert float(sd.chi2_final) >= 0.0
+    # randomly perturbed evaluation points stay non-negative too
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        noisy = np.asarray(g2.poses).copy()
+        n_act = int(g2.num_poses)
+        noisy[1:n_act, :3] += rng.normal(scale=0.1, size=(n_act - 1, 3))
+        lms = np.asarray(g2.landmarks) + rng.normal(
+            scale=0.1, size=g2.landmarks.shape
+        ).astype(np.float32)
+        assert (
+            float(fl.prior_chi2(prior, jnp.asarray(noisy), jnp.asarray(lms)))
+            >= 0.0
+        )
+
+
 def test_sharded_pcg_prior_matches_single_chip(optimized_graph):
     from semantic_slam_tpu.parallel.sharded import make_mesh
     from semantic_slam_tpu.solver import pcg as pcg_mod
