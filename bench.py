@@ -157,7 +157,8 @@ def tpu_ms_per_iter():
             )
             _ = float(out.poses[0, 0])
 
-        mods = Tracer("/tmp/bench_trace").trace(traced)
+        tracer = Tracer("/tmp/bench_trace")
+        mods = tracer.trace(traced)
         durs = mods.get("jit_lm_optimize_pcg", [])
         if durs:
             device = sum(durs) / ITERS
@@ -167,7 +168,40 @@ def tpu_ms_per_iter():
             )
     except Exception as e:  # pragma: no cover - profiler flake
         print(f"[bench] device-lane pass skipped: {e}", file=sys.stderr)
-    return best, device
+
+    # large-K row (VERDICT r3 item 5): the path rounds 3+ actually optimize
+    # is the K=4096 fixed-work solve — the K=512 headline cannot see it
+    # (ELL ~ one-hot there). One traced execution, fresh seed, same
+    # fixed-work protocol (cg_tol=0: exactly 32 CG steps per iteration).
+    device_k4096 = None
+    try:
+        K4, L4, E4 = 4096, 1024, 16384
+        g_4 = _build_graph(
+            K=K4, L=L4, E2=E4, dtype=jnp.float32, noise=0.05,
+            seed=(seed_base + 104729) % 2_000_000_011,
+        )
+        rows4 = _ell_rows_for(K4, E4)
+
+        def traced4():
+            out, _ = pcg_mod.lm_optimize_pcg(
+                g_4, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+                ell_rows=rows4, cg_tol=0.0,
+            )
+            _ = float(out.poses[0, 0])
+
+        traced4()  # compile + warmup (compilation cache makes this cheap)
+        mods4 = Tracer("/tmp/bench_trace_k4096").trace(traced4)
+        durs4 = mods4.get("jit_lm_optimize_pcg", [])
+        if durs4:
+            device_k4096 = sum(durs4) / ITERS
+            print(
+                f"[bench] pcg32_ell K=4096 device lane: "
+                f"{device_k4096:.3f} ms/iter",
+                file=sys.stderr,
+            )
+    except Exception as e:  # pragma: no cover - profiler flake
+        print(f"[bench] K=4096 device-lane pass skipped: {e}", file=sys.stderr)
+    return best, device, device_k4096
 
 
 def cpu_baseline_ms_per_iter():
@@ -247,7 +281,7 @@ def cpu_baseline_ms_per_iter():
 
 
 def main():
-    tpu, device = tpu_ms_per_iter()
+    tpu, device, device_k4096 = tpu_ms_per_iter()
     cpu = cpu_baseline_ms_per_iter()
     out = {
         "metric": "graph_solve_ms_per_iter",
@@ -260,6 +294,12 @@ def main():
         # ms/iter and the CPU-baseline multiple computed against it
         out["device_ms_per_iter"] = round(device, 4)
         out["vs_baseline_device"] = round(cpu / device, 3)
+    if device_k4096 is not None:
+        # fixed-work large-K row (BENCH_r04+): the size where the per-pose
+        # ELL layout and kernel work of rounds 3+ actually shows — makes
+        # round-over-round progress (and regressions) on the optimized
+        # path visible to the driver
+        out["device_ms_per_iter_k4096"] = round(device_k4096, 4)
     print(json.dumps(out))
 
 

@@ -80,6 +80,13 @@ def cmd_run(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.devices > 1:
+        # multi-chip session: every optimize tick's solve runs sharded over
+        # an N-device mesh (runtime/engine.py). On a CPU host, pair with
+        # --cpu and XLA_FLAGS=--xla_force_host_platform_device_count=N.
+        from semantic_slam_tpu.config import MeshConfig
+
+        cfg = cfg.replace(mesh=MeshConfig(num_devices=args.devices))
     if args.compute_ate:
         cfg = cfg.replace(compute_txt_for_ate=True)
     if args.max_keyframes:
@@ -447,6 +454,13 @@ def main(argv=None) -> None:
     )
     pr.add_argument("--compute-ate", action="store_true")
     pr.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    pr.add_argument(
+        "--devices", type=int, default=1,
+        help="run every optimize tick's solve sharded over an N-device "
+        "mesh (multi-chip product path; 1 = single-chip). Forces the pcg "
+        "solver. For CPU testing combine with --cpu and "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=N",
+    )
     pr.add_argument(
         "--max-keyframes", type=int, default=0,
         help="override graph capacity (0 = profile default; growth still doubles on demand)",

@@ -273,7 +273,7 @@ _PROC_STATICS = (
 _OPT_STATICS = (
     "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
     "pcg_precond", "robust_kind", "robust_delta", "need_marginals",
-    "ell_rows",
+    "ell_rows", "mesh", "axis_name",
 )
 
 
@@ -460,12 +460,18 @@ def _optimize_tick_impl(
     prior=None,
     need_marginals: bool = True,
     ell_rows: tuple | None = None,
+    mesh=None,
+    axis_name: str = "shard",
 ):
     """ONE device program per tick: LM optimize, marginal recovery, table
     sync, packed stats. Skipping (graph_slam.cpp:184-186) short-circuits via
     lax.cond so empty ticks are nearly free. ``prior`` (a MarginalPrior, or
     None) carries fixed-lag marginalization information — a Python-level
-    branch, so the no-prior programs are unchanged."""
+    branch, so the no-prior programs are unchanged. ``mesh`` (a static
+    jax.sharding.Mesh, from MeshConfig.num_devices > 1) routes the solve
+    through the edge/pose-row-sharded PCG inside the SAME tick program —
+    the product multi-chip path: the reference runtime loop
+    (semantic_graph_slam.cpp:58-102) scaled across devices."""
 
     def do_opt_branch(operand):
         g, t, marg = operand
@@ -473,7 +479,19 @@ def _optimize_tick_impl(
         # (no second linearize pass); on the PCG path it is matrix-free
         # (landmark_marginals_mf) — no [6K,6K] factor on any maha+pcg tick.
         marg2 = None
-        if linear_solver == "pcg":
+        if mesh is not None:
+            from semantic_slam_tpu.solver import pcg as pcg_mod
+
+            out = pcg_mod.sharded_lm_optimize_pcg(
+                g, mesh, axis_name=axis_name, max_iterations=max_iterations,
+                min_edges=min_edges, rel_tol=rel_tol, max_cg_iters=pcg_iters,
+                precond_kind=pcg_precond, robust_kind=robust_kind,
+                robust_delta=robust_delta, init_lambda=init_lambda,
+                prior=prior, with_marginals=need_marginals,
+                ell_rows=ell_rows,
+            )
+            (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
+        elif linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
             out = pcg_mod.lm_optimize_pcg(
@@ -581,13 +599,16 @@ def _tick_fused_detect(
     robust_delta,
     need_marginals=True,
     ell_rows=None,
+    mesh=None,
+    axis_name="shard",
     do_opt=True,
     init_lambda=0.0,
     prior=None,
 ):
     """Single-keyframe tick fused into ONE device program: keyframe ingest +
     frontend + association + landmark ingest + LM optimize + marginals +
-    table sync + packed stats (halves tunnel round trips per tick)."""
+    table sync + packed stats (halves tunnel round trips per tick). With
+    ``mesh``, the solve inside the program runs sharded over the devices."""
     graph, table, dets, kf_idx = _process_keyframe_impl(
         graph, table, *proc_args,
         samp_h=samp_h, samp_w=samp_w, max_planes=max_planes,
@@ -601,7 +622,8 @@ def _tick_fused_detect(
         linear_solver=linear_solver, pcg_iters=pcg_iters,
         pcg_precond=pcg_precond,
         robust_kind=robust_kind, robust_delta=robust_delta,
-        need_marginals=need_marginals, ell_rows=ell_rows, do_opt=do_opt,
+        need_marginals=need_marginals, ell_rows=ell_rows, mesh=mesh,
+        axis_name=axis_name, do_opt=do_opt,
         init_lambda=init_lambda, prior=prior,
     )
     return graph, table, marginals, dets, info
@@ -745,11 +767,7 @@ def _process_keyframe_planes(
     return graph, table, pn, dets, kf_idx
 
 
-@partial(jax.jit, static_argnames=(
-    "max_iterations", "min_edges", "rel_tol", "linear_solver", "pcg_iters",
-    "pcg_precond", "robust_kind", "robust_delta", "need_marginals",
-    "ell_rows",
-))
+@partial(jax.jit, static_argnames=_OPT_STATICS)
 def _optimize_tick_planes(
     graph,
     table,
@@ -768,17 +786,35 @@ def _optimize_tick_planes(
     prior=None,
     need_marginals: bool = True,
     ell_rows: tuple | None = None,
+    mesh=None,
+    axis_name: str = "shard",
 ):
     """Planar-patch tick: joint pose+point+plane Schur LM (dense Cholesky or
     matrix-free PCG per ``linear_solver``), then the same marginal recovery +
     table sync as the point path (the centroid is a point landmark, so gating
     behaves exactly as in point mode). ``prior`` (fixed-lag) folds into the
-    joint solve on both solver paths."""
+    joint solve on both solver paths. ``mesh`` routes the joint solve
+    through the pose-row-sharded merged point+plane grid (multi-chip)."""
 
     def do_branch(operand):
         graph, table, pn = operand
         marg = None
-        if linear_solver == "pcg":
+        if mesh is not None:
+            from semantic_slam_tpu.solver import pcg as pcg_mod
+
+            out = pcg_mod.sharded_lm_optimize_pcg_planes(
+                graph, pn, mesh, axis_name=axis_name,
+                max_iterations=max_iterations, min_edges=min_edges,
+                rel_tol=rel_tol, max_cg_iters=pcg_iters,
+                precond_kind=pcg_precond, robust_kind=robust_kind,
+                robust_delta=robust_delta, init_lambda=init_lambda,
+                prior=prior, with_marginals=need_marginals,
+                ell_rows=ell_rows,
+            )
+            (graph, pn, stats) = out[:3]
+            if need_marginals:
+                marg = out[3]
+        elif linear_solver == "pcg":
             from semantic_slam_tpu.solver import pcg as pcg_mod
 
             out = pcg_mod.lm_optimize_pcg_planes(
@@ -858,11 +894,49 @@ class SlamEngine:
         enable_compilation_cache()
         self.cfg = config
         self.dtype = jnp.float64 if config.solver.dtype == "float64" else jnp.float32
+
+        # multi-chip: MeshConfig.num_devices > 1 builds the mesh ONCE and
+        # every optimize tick routes its solve through the sharded PCG
+        # (pose-row ELL fast path) — the reference runtime loop
+        # (semantic_graph_slam.cpp:58-102) scaled across devices
+        self._mesh = None
+        n_mesh = config.mesh.num_devices
+        if n_mesh > 1:
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < n_mesh:
+                raise ValueError(
+                    f"MeshConfig.num_devices={n_mesh} but only {len(devs)} "
+                    f"JAX devices are visible (backend "
+                    f"{jax.default_backend()!r}); for CPU testing set "
+                    f"XLA_FLAGS=--xla_force_host_platform_device_count=N"
+                )
+            self._mesh = Mesh(tuple(devs[:n_mesh]), (config.mesh.axis_name,))
+            if config.solver.linear_solver != "pcg":
+                # the distributed product path is the matrix-free PCG
+                # (docs/SCALING.md); dense psum of [6K,6K] would cap scaling
+                if config.verbose:
+                    print("[mesh] linear_solver forced to 'pcg' for multi-chip")
+                config = config.replace(
+                    solver=dataclasses.replace(config.solver, linear_solver="pcg")
+                )
+                self.cfg = config
+
+        def _round_up(v: int, m: int) -> int:
+            return -(-v // m) * m
+
         cap = config.capacity
         k0 = min(cap.initial_keyframes or cap.max_keyframes, cap.max_keyframes)
         l0 = min(cap.initial_landmarks or cap.max_landmarks, cap.max_landmarks)
         e10 = min(cap.initial_odom_edges or cap.max_odom_edges, cap.max_odom_edges)
         e20 = min(cap.initial_landmark_edges or cap.max_landmark_edges, cap.max_landmark_edges)
+        if n_mesh > 1:
+            # sharded solves split edge arrays (and pose rows) evenly over
+            # the mesh; capacity doubling preserves divisibility thereafter
+            k0, e10, e20 = (
+                _round_up(k0, n_mesh), _round_up(e10, n_mesh), _round_up(e20, n_mesh),
+            )
         self.graph = gs.make_graph(k0, l0, e10, e20, dtype=self.dtype)
         self.table = assoc_mod.make_table(l0, dtype=self.dtype)
         # plane-landmark mode (beyond the reference): plane nodes sized like
@@ -1070,6 +1144,8 @@ class SlamEngine:
             # recovery pass (a dense Schur-factor solve) on those profiles
             need_marginals=bool(self.cfg.association.use_maha_dist),
             ell_rows=self._ell_rows(),
+            mesh=self._mesh,
+            axis_name=self.cfg.mesh.axis_name,
         )
 
     def run(self) -> bool:
@@ -1135,6 +1211,8 @@ class SlamEngine:
                 robust_delta=self.cfg.solver.robust_delta,
                 need_marginals=bool(self.cfg.association.use_maha_dist),
                 ell_rows=self._ell_rows(planes=True),
+                mesh=self._mesh,
+                axis_name=self.cfg.mesh.axis_name,
                 do_opt=do_opt,
                 init_lambda=init_lam,
             )
@@ -1369,6 +1447,8 @@ class SlamEngine:
                 robust_delta=self.cfg.solver.robust_delta,
                 need_marginals=bool(self.cfg.association.use_maha_dist),
                 ell_rows=self._ell_rows(planes=True),
+                mesh=self._mesh,
+                axis_name=self.cfg.mesh.axis_name,
                 do_opt=np.bool_(True),
             )
         else:

@@ -72,35 +72,6 @@ class OneHots(NamedTuple):
     Ol: jax.Array  # [E2, L]
 
 
-class EllLayout(NamedTuple):
-    """Per-shard ELL slot tables (assembly.build_slots) — the O(K*R)
-    replacement for the O(E*K) one-hot matmuls on pose-side segment sums.
-
-    Valid when the shard's real edges are sorted by pose index with a
-    static per-pose bound (the engine's construction order guarantees it;
-    see assembly.py). The landmark-side scatter keeps a one-hot ``Ol`` —
-    per-LANDMARK edge counts are unbounded (a landmark may be re-observed
-    by arbitrarily many keyframes), but that sum is O(E*L) with L bounded
-    by the semantic-object table, not the trajectory. ``pk_slots`` (planes
-    path only) addresses the MERGED observation-edge axis (point rows
-    [0,E2) then plane rows [E2,E2+E3)); empty slots are -1 everywhere.
-    """
-
-    oi_slots: jax.Array  # [K, R1] into the odometry edge axis
-    oj_slots: jax.Array  # [K, R2]
-    lk_slots: jax.Array  # [K, R3] into the (merged) observation edge axis
-    Ol: jax.Array  # [E2(+E3), L(+Pl)] one-hot
-    pk_slots: jax.Array | None = None  # [K, R4], merged-axis positions
-
-
-def _merged_obs_slots(ell: EllLayout) -> jax.Array:
-    """lk_slots (+ pk_slots) as ONE [K, R3(+R4)] table over the merged
-    observation-edge axis — both already address merged positions."""
-    if ell.pk_slots is None:
-        return ell.lk_slots
-    return jnp.concatenate([ell.lk_slots, ell.pk_slots], axis=1)
-
-
 def build_edge_blocks(
     poses,
     landmarks,
@@ -118,7 +89,6 @@ def build_edge_blocks(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     oh: OneHots | None = None,
-    ell: EllLayout | None = None,
 ) -> EdgeBlocks:
     K = poses.shape[0]
     L = landmarks.shape[0]
@@ -157,26 +127,7 @@ def build_edge_blocks(
     g_l = jnp.einsum("eia,ea->ei", JlT_O, r_l)
     chi_l = chi_l_rho
 
-    if ell is not None:
-        # ELL slot gathers: O(K*R) pose-side segment sums (assembly.py).
-        # lk_slots addresses the merged observation axis, but point-edge
-        # positions coincide with this function's [0, E2) rows.
-        from semantic_slam_tpu.solver.assembly import slot_sum
-
-        Ol = ell.Ol[: lme_k.shape[0], :L]
-        gp = (
-            slot_sum(g_i, ell.oi_slots)
-            + slot_sum(g_j, ell.oj_slots)
-            + slot_sum(g_k, ell.lk_slots)
-        )
-        gl = jnp.einsum("el,ei->li", Ol, g_l)
-        Hll = jnp.einsum("el,eij->lij", Ol, H_ll_e)
-        diag = (
-            slot_sum(H_ii, ell.oi_slots)
-            + slot_sum(H_jj, ell.oj_slots)
-            + slot_sum(H_kk, ell.lk_slots)
-        )
-    elif oh is not None:
+    if oh is not None:
         # segment sums as MXU matmuls (solver/assembly.py rationale); the
         # one-hot slices cover exactly this function's point edges
         Oi, Oj = oh.Oi, oh.Oj
@@ -264,42 +215,19 @@ def apply_prior_blocks_planes(
 def reduced_matvec(
     eb: EdgeBlocks, Ainv: jax.Array, lam, pose_free, x: jax.Array,
     allreduce: Callable, prior=None, oh: OneHots | None = None,
-    ell: EllLayout | None = None,
 ) -> jax.Array:
     """Apply the damped reduced operator to x [K,6] (free rows only).
 
-    With ``ell``, pose-side segment sums run as O(K*R) ELL slot gathers and
-    node gathers as plain row gathers; with ``oh``, everything runs as MXU
-    one-hot matmuls (O(E*K) work, but no serialized TPU scatters); with
-    neither, native gathers/scatters (the CPU path)."""
+    With ``oh``, everything runs as MXU one-hot matmuls (O(E*K) work, but
+    no serialized TPU scatters); without, native gathers/scatters (the CPU
+    path). The TPU fast path lives in the per-pose layout (``ell_matvec``),
+    not here."""
     K = x.shape[0]
     L = Ainv.shape[0]
     dtype = x.dtype
     x = x * pose_free[:, None]
 
-    if ell is not None:
-        from semantic_slam_tpu.solver.assembly import slot_sum
-
-        xi, xj, xk = x[eb.oi], x[eb.oj], x[eb.lk]
-        t = allreduce(
-            jnp.einsum("el,ej->lj", ell.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, xk))
-        )
-        z = jnp.einsum("lij,lj->li", Ainv, t)  # replicated
-        vi = jnp.einsum("eij,ej->ei", eb.H_ii, xi) + jnp.einsum(
-            "eij,ej->ei", eb.H_ij, xj
-        )
-        vj = jnp.einsum("eji,ej->ei", eb.H_ij, xi) + jnp.einsum(
-            "eij,ej->ei", eb.H_jj, xj
-        )
-        vk = jnp.einsum("eij,ej->ei", eb.H_kk, xk) - jnp.einsum(
-            "eij,ej->ei", eb.W_kl, z[eb.ll]
-        )
-        u = allreduce(
-            slot_sum(vi, ell.oi_slots)
-            + slot_sum(vj, ell.oj_slots)
-            + slot_sum(vk, _merged_obs_slots(ell))
-        )
-    elif oh is not None:
+    if oh is not None:
         xi, xj, xk = oh.Oi @ x, oh.Oj @ x, oh.Ok @ x
         t = allreduce(
             jnp.einsum("el,ej->lj", oh.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, xk))
@@ -362,7 +290,6 @@ def pcg_solve(
     precond: Callable | None = None,
     prior=None,
     oh: OneHots | None = None,
-    ell: EllLayout | None = None,
 ) -> jax.Array:
     """Preconditioned CG on the reduced camera system (block-Jacobi by
     default; pass ``precond`` for the block-tridiagonal chain variant)."""
@@ -393,7 +320,7 @@ def pcg_solve(
     def body(carry):
         x, r, p, rz, it = carry
         Ap = reduced_matvec(
-            eb, Ainv, lam, pf, p, allreduce, prior=prior, oh=oh, ell=ell
+            eb, Ainv, lam, pf, p, allreduce, prior=prior, oh=oh
         )
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         x = x + alpha * p
@@ -418,7 +345,6 @@ def schur_pcg_step(
     precond_kind: str = "jacobi",
     prior=None,
     oh: OneHots | None = None,
-    ell: EllLayout | None = None,
     cg_tol: float = 1e-8,
 ):
     """One damped Schur-eliminated solve on (possibly plane-extended) edge
@@ -455,13 +381,7 @@ def schur_pcg_step(
     gl = eb.gl * lmf[:, None]
     # b = -(gp - W A^-1 gl)
     y = jnp.einsum("lij,lj->li", Ainv, gl)
-    if ell is not None:
-        from semantic_slam_tpu.solver.assembly import slot_sum
-
-        c_loc = slot_sum(
-            jnp.einsum("eij,ej->ei", eb.W_kl, y[eb.ll]), _merged_obs_slots(ell)
-        )
-    elif oh is not None:
+    if oh is not None:
         c_loc = jnp.einsum(
             "ek,ei->ki", oh.Ok, jnp.einsum("eij,ej->ei", eb.W_kl, oh.Ol @ y)
         )
@@ -472,17 +392,11 @@ def schur_pcg_step(
     b = -(eb.gp - allreduce(c_loc)) * pf[:, None]
     dp = pcg_solve(
         eb, Ainv, lam, pose_free, b, allreduce, max_cg_iters, tol=cg_tol,
-        precond=precond, prior=prior, oh=oh, ell=ell,
+        precond=precond, prior=prior, oh=oh,
     )
     # back-substitute: db = Ainv(-gl - W^T dp)
     dpk = (dp * pf[:, None])
-    if ell is not None:
-        t_loc = jnp.einsum(
-            "el,ej->lj",
-            ell.Ol,
-            jnp.einsum("eij,ei->ej", eb.W_kl, dpk[eb.lk]),
-        )
-    elif oh is not None:
+    if oh is not None:
         t_loc = jnp.einsum(
             "el,ej->lj", oh.Ol, jnp.einsum("eij,ei->ej", eb.W_kl, oh.Ok @ dpk)
         )
@@ -512,36 +426,23 @@ def run_lm_loop_pcg(
     precond_kind: str = "jacobi",
     prior=None,
     assembly: str = "auto",
-    ell_rows: tuple | None = None,
     cg_tol: float = 1e-8,
 ):
     """Nielsen-damped LM with the matrix-free PCG inner solver.
     ``init_lambda > 0`` (traced) warm-starts the damping. ``prior`` is a
     fixed-lag MarginalPrior folded into every linearization (replicated).
-    ``assembly`` picks the segment-sum strategy (assembly.resolve_assembly);
-    on TPU, 'auto' prefers the O(K*R) ELL layout whenever the caller passes
-    ``ell_rows`` = (R_oi, R_oj, R_lk) static per-pose edge-count bounds
-    (valid for engine-built graphs — see assembly.build_slots contract).
-    Layouts are built once per solve — edge indices never change inside
-    the loop."""
-    from semantic_slam_tpu.solver.assembly import (
-        build_slots, onehot, resolve_assembly,
-    )
+    ``assembly`` picks the segment-sum strategy ('matmul' one-hots or
+    'scatter'; 'ell' resolves to the backend default here — the per-pose
+    ELL fast path has its own loop, run_lm_loop_pcg_ellk). Layouts are
+    built once per solve — edge indices never change inside the loop."""
+    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
 
     dtype = poses.dtype
     K = poses.shape[0]
     L = landmarks.shape[0]
     oh = None
-    ell = None
-    kind = resolve_assembly(assembly, ell_ok=ell_rows is not None)
-    if kind == "ell":
-        ell = EllLayout(
-            oi_slots=build_slots(edge_args[0], edge_args[4], K, ell_rows[0]),
-            oj_slots=build_slots(edge_args[1], edge_args[4], K, ell_rows[1]),
-            lk_slots=build_slots(edge_args[5], edge_args[9], K, ell_rows[2]),
-            Ol=onehot(edge_args[6], L, dtype),
-        )
-    elif kind == "matmul":
+    kind = resolve_assembly(assembly, ell_ok=False)
+    if kind == "matmul":
         oh = OneHots(
             Oi=onehot(edge_args[0], K, dtype),
             Oj=onehot(edge_args[1], K, dtype),
@@ -552,7 +453,7 @@ def run_lm_loop_pcg(
     def build(p, l):
         eb = build_edge_blocks(
             p, l, *edge_args, allreduce, robust_kind=robust_kind,
-            robust_delta=robust_delta, oh=oh, ell=ell,
+            robust_delta=robust_delta, oh=oh,
         )
         if prior is not None:
             eb = apply_prior_blocks(eb, prior, p, l)
@@ -572,7 +473,7 @@ def run_lm_loop_pcg(
     def solve(eb, lam):
         return schur_pcg_step(
             eb, lam, pose_free, lm_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind, prior=prior, oh=oh, ell=ell,
+            precond_kind=precond_kind, prior=prior, oh=oh,
             cg_tol=cg_tol,
         )
 
@@ -746,14 +647,15 @@ def _sigma_from_chain_parts(fac, U, Hll, pose_free, block_free, prior, dtype):
 
 
 # ---------------------------------------------------------------------------
-# Per-pose ELL layout: the single-chip fast path
+# Per-pose ELL layout: the TPU fast path (single-chip AND pose-row-sharded)
 # ---------------------------------------------------------------------------
 #
-# Device-lane profiling of the two generic assemblies (device_time_bench):
-# the one-hot matmuls do O(E*K) work (dominates from K~2048 up), while the
-# slot-GATHER form (EllLayout above) replaces them with row gathers that are
-# latency-bound on TPU (2x SLOWER at K<=2048). The resolution is a third
-# layout that needs neither pose-side gathers nor one-hots: store landmark
+# Device-lane profiling of the generic assemblies (device_time_bench):
+# the one-hot matmuls do O(E*K) work (dominates from K~2048 up), while a
+# slot-GATHER form (r3's EllLayout, removed in r4 once every caller moved
+# here) replaced them with row gathers that are latency-bound on TPU (2x
+# SLOWER at K<=2048). The resolution is a layout that needs neither
+# pose-side gathers nor one-hots: store landmark
 # edges in a dense per-pose grid [K, R] (R = the static per-keyframe bound,
 # empty slots info-masked) and odometry as the chain it is ([K] rows, edge
 # k -> k+1). Then
@@ -774,8 +676,11 @@ def _sigma_from_chain_parts(fac, U, Hll, pose_free, block_free, prior, dtype):
 # bound R) plus CHAIN odometry (odom edge e joins poses (i, i+1)); a
 # non-chain odometry edge is dropped from the system (guarded exactly, not
 # corrupted) — the engine never builds one (semantic_graph_slam.cpp:104-150).
-# The slot-gather EllLayout above remains the layout for the SHARDED paths,
-# whose edge-sharding contract it matches shard-locally.
+# The SHARDED paths (sharded_lm_optimize_pcg[_planes] with ell_rows) run
+# this same grid sharded by POSE ROWS: each shard owns a contiguous [K/n, R]
+# slice, CG state is replicated, shard-local row contributions embed at
+# their offset (_dus_rows) and merge in [6K]/[3L]-class psums — incl. the
+# with_marginals recovery and the merged point+plane grid (r4).
 
 
 class EllEdges(NamedTuple):
@@ -1079,6 +984,25 @@ def _ell_chain_upper(eb: EllBlocks, pose_free):
     return eb.H_ij * (pf * pf_next)[:, None, None]
 
 
+def _ell_chain_upper_g(eb: EllBlocks, pose_free, allreduce, shard):
+    """GLOBAL [K,6,6] chain upper blocks from (possibly pose-row-sharded)
+    per-pose blocks: shard-local couplings embed at their row offset and
+    merge in one psum. ``pose_free`` is always the replicated global mask."""
+    if shard is None:
+        return _ell_chain_upper(eb, pose_free)
+    offset, Kg = shard
+    dtype = eb.H_ij.dtype
+    pf = pose_free.astype(dtype)
+    Kb = eb.H_ij.shape[0]
+    pf_loc = jax.lax.dynamic_slice_in_dim(pf, offset, Kb, axis=0)
+    pfn = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([pf[1:], jnp.zeros((1,), dtype)]), offset, Kb, axis=0
+    )
+    up_loc = eb.H_ij * (pf_loc * pfn)[:, None, None]
+    upper = allreduce(_dus_rows(up_loc, offset, Kg))
+    return upper.at[Kg - 1].set(0.0)
+
+
 def ell_schur_step(
     eb: EllBlocks,
     lam,
@@ -1109,19 +1033,7 @@ def ell_schur_step(
 
         D = eb.diag + lam * eye6[None]
         D = D * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
-        if shard is not None:
-            offset, Kg = shard
-            pf_loc = jax.lax.dynamic_slice_in_dim(pf, offset, Kb, axis=0)
-            pfn = jax.lax.dynamic_slice_in_dim(
-                jnp.concatenate([pf[1:], jnp.zeros((1,), dtype)]),
-                offset, Kb, axis=0,
-            )
-            up_loc = eb.H_ij * (pf_loc * pfn)[:, None, None]
-            upper = allreduce(_dus_rows(up_loc, offset, Kg))
-            upper = upper.at[Kg - 1].set(0.0)
-        else:
-            upper = _ell_chain_upper(eb, pose_free)
-        fac = td.pcr_factor(D, upper)
+        fac = td.pcr_factor(D, _ell_chain_upper_g(eb, pose_free, allreduce, shard))
 
         def precond(r):
             return td.pcr_solve(fac, r) * pf[:, None]
@@ -1322,24 +1234,35 @@ def ell_linearize_planes(
     ee: EllEdgesPlanes,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    allreduce: Callable = lambda a: a,
+    shard: tuple | None = None,
 ) -> EllBlocks:
     """Merged point+plane blocks in per-pose layout: plane slots append
     after the point slots with block ids offset by L, and everything
     downstream (matvec, schur step, marginals) runs UNCHANGED on the
     merged [K, R3+R4] grid — the per-pose analog of
-    build_edge_blocks_with_planes."""
+    build_edge_blocks_with_planes.
+
+    With ``shard=(offset, K_global)`` (cf. ell_linearize): ``ee`` holds this
+    shard's contiguous row slice and the plane additions to the global
+    gp/diag embed at the row offset and merge in the psum; Hll/gl plane
+    rows and chi2 psum like the point part."""
     from semantic_slam_tpu.graph.planes import _plane_edge_jac
 
-    K = poses.shape[0]
     L = landmarks.shape[0]
     Pl = planes.shape[0]
     R4 = ee.pl.shape[1]
     dtype = poses.dtype
+    K = ee.pl.shape[0]  # local rows (== global K single-chip)
 
     eb = ell_linearize(
         poses, landmarks, ee.pt, robust_kind=robust_kind,
-        robust_delta=robust_delta,
+        robust_delta=robust_delta, allreduce=allreduce, shard=shard,
     )
+    if shard is not None:
+        poses_loc = jax.lax.dynamic_slice_in_dim(poses, shard[0], K, axis=0)
+    else:
+        poses_loc = poses
 
     pl_flat = ee.pl.reshape(-1)
     pw = _gather_l(pl_flat, planes, Pl).reshape(K, R4, 4)
@@ -1350,7 +1273,7 @@ def ell_linearize_planes(
         jnp.sum(pw[..., :3] * pw[..., :3], axis=-1, keepdims=True) > 1e-12,
         pw, unit,
     )
-    p_b = jnp.broadcast_to(poses[:, None, :], (K, R4, poses.shape[1]))
+    p_b = jnp.broadcast_to(poses_loc[:, None, :], (K, R4, poses.shape[1]))
     r_p, Jk, Jp = jax.vmap(jax.vmap(_plane_edge_jac))(p_b, pw, ee.pmeas)
     p_info = ee.pinfo
     chi_e = jnp.einsum("kra,krab,krb->kr", r_p, p_info, r_p)
@@ -1368,8 +1291,18 @@ def ell_linearize_planes(
     g_k = jnp.einsum("kria,kra->kri", JkT_O, r_p)
     g_p = jnp.einsum("kria,kra->kri", JpT_O, r_p)
 
-    Hll_p = _seg_sum_l(pl_flat, H_pp.reshape(K * R4, 9), Pl).reshape(Pl, 3, 3)
-    gl_p = _seg_sum_l(pl_flat, g_p.reshape(K * R4, 3), Pl)
+    Hll_p = allreduce(
+        _seg_sum_l(pl_flat, H_pp.reshape(K * R4, 9), Pl).reshape(Pl, 3, 3)
+    )
+    gl_p = allreduce(_seg_sum_l(pl_flat, g_p.reshape(K * R4, 3), Pl))
+    if shard is not None:
+        gp = eb.gp + allreduce(_dus_rows(g_k.sum(axis=1), shard[0], shard[1]))
+        diag = eb.diag + allreduce(
+            _dus_rows(H_kk_p.sum(axis=1), shard[0], shard[1])
+        )
+    else:
+        gp = eb.gp + g_k.sum(axis=1)
+        diag = eb.diag + H_kk_p.sum(axis=1)
 
     return EllBlocks(
         ll=jnp.concatenate([eb.ll, ee.pl + L], axis=1),
@@ -1377,10 +1310,10 @@ def ell_linearize_planes(
         H_kk=jnp.concatenate([eb.H_kk, H_kk_p], axis=1),
         W_kl=jnp.concatenate([eb.W_kl, W_kp], axis=1),
         Hll=jnp.concatenate([eb.Hll, Hll_p]),
-        gp=eb.gp + g_k.sum(axis=1),
+        gp=gp,
         gl=jnp.concatenate([eb.gl, gl_p]),
-        diag=eb.diag + H_kk_p.sum(axis=1),
-        chi2=eb.chi2 + chi_p,
+        diag=diag,
+        chi2=eb.chi2 + allreduce(chi_p),
     )
 
 
@@ -1404,21 +1337,30 @@ def run_lm_loop_pcg_ellk_planes(
     prior=None,
     ell_rows: tuple = (1, 1, 8, 8),
     cg_tol: float = 1e-8,
+    allreduce: Callable = lambda a: a,
+    shard: tuple | None = None,
+    ee: EllEdgesPlanes | None = None,
 ):
-    """run_lm_loop_pcg_planes on the per-pose layout."""
+    """run_lm_loop_pcg_planes on the per-pose layout. Single-chip by
+    default; under shard_map pass ``allreduce`` (psum),
+    ``shard=(offset, K_global)`` and the shard's row slice ``ee`` (built
+    globally outside the mesh) — pose-row sharding of the merged
+    point+plane grid (cf. run_lm_loop_pcg_ellk)."""
     from semantic_slam_tpu.solver.plane_ba import plane_retract
 
     dtype = poses.dtype
     K = poses.shape[0]
     L = landmarks.shape[0]
     block_free = jnp.concatenate([lm_free, plane_free])
-    ee = build_ell_edges_planes(
-        edge_args, plane_args, K, ell_rows[2], ell_rows[3]
-    )
+    if ee is None:
+        ee = build_ell_edges_planes(
+            edge_args, plane_args, K, ell_rows[2], ell_rows[3]
+        )
 
     def build(p, l, pl):
         eb = ell_linearize_planes(
-            p, l, pl, ee, robust_kind=robust_kind, robust_delta=robust_delta
+            p, l, pl, ee, robust_kind=robust_kind, robust_delta=robust_delta,
+            allreduce=allreduce, shard=shard,
         )
         if prior is not None:
             eb = apply_prior_blocks_planes(eb, prior, p, l, pl)
@@ -1450,6 +1392,7 @@ def run_lm_loop_pcg_ellk_planes(
         dp, db = ell_schur_step(
             eb, lam, pose_free, block_free, max_cg_iters,
             precond_kind=precond_kind, prior=prior, cg_tol=cg_tol,
+            allreduce=allreduce, shard=shard,
         )
         p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
         eb_new = build(p_new, l_new, pl_new)
@@ -1484,13 +1427,23 @@ def run_lm_loop_pcg_ellk_planes(
 
 
 def landmark_marginals_mf_ellk(
-    eb: EllBlocks, pose_free, block_free, prior=None
+    eb: EllBlocks, pose_free, block_free, prior=None,
+    allreduce: Callable = lambda a: a, shard: tuple | None = None,
 ) -> jax.Array:
     """landmark_marginals_mf on per-pose-layout blocks: the chain
-    tridiagonal reads off directly, and the W columns assemble per slot."""
+    tridiagonal reads off directly, and the W columns assemble per slot.
+
+    With ``shard=(offset, K_global)`` (pose-row sharding, cf. ell_matvec):
+    ``eb`` holds this shard's row slice; diag/Hll are already global
+    (ell_linearize psums them), the [K,6,3B] W columns and [K,6,6] chain
+    couplings psum ONCE here, and the bounded-B dense tail runs replicated
+    on every shard — the maha-profile (graph_slam.cpp:221-234) recovery at
+    the pose-row fast-path layout, closing r3's ``not with_marginals``
+    exclusion."""
     from semantic_slam_tpu.solver import tridiag as td
 
-    K, R = eb.ll.shape
+    Kb, R = eb.ll.shape
+    Kg = pose_free.shape[0]
     B = eb.Hll.shape[0]
     dtype = eb.gp.dtype
     pf = pose_free.astype(dtype)
@@ -1498,12 +1451,18 @@ def landmark_marginals_mf_ellk(
     eye6 = jnp.eye(6, dtype=dtype)
 
     Dm = eb.diag * pf[:, None, None] + eye6[None] * (1.0 - pf)[:, None, None]
-    fac = td.pcr_factor(Dm, _ell_chain_upper(eb, pose_free))
+    fac = td.pcr_factor(Dm, _ell_chain_upper_g(eb, pose_free, allreduce, shard))
 
-    w_e = pf[:, None] * lmf[eb.ll]  # [K, R]
+    if shard is not None:
+        pf_loc = jax.lax.dynamic_slice_in_dim(pf, shard[0], Kb, axis=0)
+    else:
+        pf_loc = pf
+    w_e = pf_loc[:, None] * lmf[eb.ll]  # [Kb, R]
     W_m = eb.W_kl * w_e[:, :, None, None]
-    OlmK = _onehot_l(eb.ll.reshape(-1), B, dtype).reshape(K, R, B)
-    U = jnp.einsum("krb,krxy->kxby", OlmK, W_m).reshape(K, 6, 3 * B)
+    OlmK = _onehot_l(eb.ll.reshape(-1), B, dtype).reshape(Kb, R, B)
+    U = jnp.einsum("krb,krxy->kxby", OlmK, W_m).reshape(Kb, 6, 3 * B)
+    if shard is not None:
+        U = allreduce(_dus_rows(U, shard[0], Kg))
     return _sigma_from_chain_parts(
         fac, U, eb.Hll, pose_free, block_free, prior, dtype
     )
@@ -1653,14 +1612,13 @@ def build_edge_blocks_with_planes(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     oh: OneHots | None = None,
-    ell: EllLayout | None = None,
 ) -> EdgeBlocks:
     """Point edge blocks + SE3-plane edge blocks merged into ONE landmark
     block system: plane blocks are 3-dof (2 normal-tangent + offset) exactly
     like point blocks, so they append at indices ``L..L+Pl`` and the reduced
     camera operator/preconditioner are reused untouched (the matrix-free
-    analog of ``graph/planes.linearize_with_planes``). ``oh`` / ``ell``
-    hold MERGED selections (point rows first, then plane rows)."""
+    analog of ``graph/planes.linearize_with_planes``). ``oh`` holds MERGED
+    selections (point rows first, then plane rows)."""
     from semantic_slam_tpu.graph.planes import _plane_edge_jac
 
     K = poses.shape[0]
@@ -1670,7 +1628,7 @@ def build_edge_blocks_with_planes(
 
     eb = build_edge_blocks(
         poses, landmarks, *edge_args, allreduce,
-        robust_kind=robust_kind, robust_delta=robust_delta, oh=oh, ell=ell,
+        robust_kind=robust_kind, robust_delta=robust_delta, oh=oh,
     )
 
     pe_k, pe_p, pe_meas, pe_info, pe_mask = plane_args
@@ -1691,19 +1649,7 @@ def build_edge_blocks_with_planes(
     g_p = jnp.einsum("eia,ea->ei", JpT_O, r_p)
     chi_p = chi_p_rho
 
-    if ell is not None:
-        # plane rows of the merged layout: pk_slots holds MERGED positions
-        # [E2, E2+E3) — shift to this function's local [0, E3) plane rows
-        from semantic_slam_tpu.solver.assembly import slot_sum
-
-        E2 = edge_args[5].shape[0]
-        local = jnp.where(ell.pk_slots >= 0, ell.pk_slots - E2, -1)
-        Opl = ell.Ol[E2:, L:]  # [E3, Pl]
-        Hll_p = jnp.einsum("ep,eij->pij", Opl, H_pp)
-        gl_p = jnp.einsum("ep,ei->pi", Opl, g_p)
-        gp_add = slot_sum(g_k, local)
-        diag_add = slot_sum(H_kk, local)
-    elif oh is not None:
+    if oh is not None:
         E2 = edge_args[5].shape[0]
         Opk = oh.Ok[E2:]  # [E3, K]
         Opl = oh.Ol[E2:, L:]  # [E3, Pl]
@@ -1755,17 +1701,15 @@ def run_lm_loop_pcg_planes(
     init_lambda=0.0,
     prior=None,
     assembly: str = "auto",
-    ell_rows: tuple | None = None,
 ):
     """Nielsen-damped LM over poses + point landmarks + plane landmarks with
     the matrix-free PCG inner solver (scaling-path analog of
     ``graph/planes.lm_optimize_with_planes``). ``prior`` (fixed-lag
     MarginalPrior incl. plane part) is folded into every linearization.
-    ``ell_rows`` = (R_oi, R_oj, R_lk, R_pe) enables the O(K*R) ELL
-    assembly; the 4th entry bounds plane edges per keyframe."""
-    from semantic_slam_tpu.solver.assembly import (
-        build_slots, onehot, resolve_assembly,
-    )
+    ``assembly`` picks 'matmul' one-hots or 'scatter' ('ell' resolves to
+    the backend default — the per-pose fast path has its own loop,
+    run_lm_loop_pcg_ellk_planes)."""
+    from semantic_slam_tpu.solver.assembly import onehot, resolve_assembly
     from semantic_slam_tpu.solver.plane_ba import plane_retract
 
     dtype = poses.dtype
@@ -1776,22 +1720,8 @@ def run_lm_loop_pcg_planes(
     pe_k, pe_p = plane_args[0], plane_args[1]
 
     oh = None
-    ell = None
-    ell_ok = ell_rows is not None and len(ell_rows) >= 4
-    kind = resolve_assembly(assembly, ell_ok=ell_ok)
-    if kind == "ell":
-        E2 = edge_args[5].shape[0]
-        pk = build_slots(pe_k, plane_args[4], K, ell_rows[3])
-        ell = EllLayout(
-            oi_slots=build_slots(edge_args[0], edge_args[4], K, ell_rows[0]),
-            oj_slots=build_slots(edge_args[1], edge_args[4], K, ell_rows[1]),
-            lk_slots=build_slots(edge_args[5], edge_args[9], K, ell_rows[2]),
-            Ol=onehot(
-                jnp.concatenate([edge_args[6], pe_p + L]), L + Pl, dtype
-            ),
-            pk_slots=jnp.where(pk >= 0, pk + E2, -1),  # merged-axis rows
-        )
-    elif kind == "matmul":
+    kind = resolve_assembly(assembly, ell_ok=False)
+    if kind == "matmul":
         # merged observation selection: point edges hit blocks [0,L),
         # plane edges the appended blocks [L, L+Pl)
         oh = OneHots(
@@ -1806,7 +1736,7 @@ def run_lm_loop_pcg_planes(
     def build(p, l, pl):
         eb = build_edge_blocks_with_planes(
             p, l, pl, edge_args, plane_args, allreduce,
-            robust_kind=robust_kind, robust_delta=robust_delta, oh=oh, ell=ell,
+            robust_kind=robust_kind, robust_delta=robust_delta, oh=oh,
         )
         if prior is not None:
             eb = apply_prior_blocks_planes(eb, prior, p, l, pl)
@@ -1837,7 +1767,7 @@ def run_lm_loop_pcg_planes(
         p, l, pl, eb, lam, nu, it, done = carry
         dp, db = schur_pcg_step(
             eb, lam, pose_free, block_free, allreduce, max_cg_iters,
-            precond_kind=precond_kind, prior=prior, oh=oh, ell=ell,
+            precond_kind=precond_kind, prior=prior, oh=oh,
         )
         p_new, l_new, pl_new = retract_all(p, l, pl, dp, db)
         # speculative relinearization at the trial point (see run_lm_loop_pcg)
@@ -1959,6 +1889,7 @@ def lm_optimize_pcg_planes(
     static_argnames=(
         "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
         "max_cg_iters", "precond_kind", "assembly", "ell_rows",
+        "with_marginals", "robust_kind", "robust_delta", "cg_tol",
     ),
 )
 def sharded_lm_optimize_pcg_planes(
@@ -1974,13 +1905,25 @@ def sharded_lm_optimize_pcg_planes(
     prior=None,
     assembly: str = "auto",
     ell_rows: tuple | None = None,
+    with_marginals: bool = False,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+    init_lambda=0.0,
+    cg_tol: float = 1e-8,
 ):
     """Edge-sharded planar-patch LM: odometry, point-observation AND plane
     edges all sharded over the mesh; node arrays replicated; psum traffic per
     CG step is [6K] + [3(L+Pl)]. ``prior`` (fixed-lag MarginalPrior incl.
     plane part) is replicated; its blocks are folded post-psum on every
-    shard."""
+    shard. With ``ell_rows`` (a 4-tuple) and K divisible by the mesh, the
+    solve runs on the merged point+plane per-pose grid sharded by POSE ROWS
+    — the r3 fast-path layout now covering the planes profiles too.
+    ``with_marginals=True`` additionally returns the POINT-landmark marginal
+    blocks ([:L] of the merged system), recovered matrix-free inside the
+    mesh."""
     from jax.sharding import PartitionSpec as P
+
+    from semantic_slam_tpu.solver.assembly import resolve_assembly
 
     n = mesh.shape[axis_name]
     assert (
@@ -1990,59 +1933,146 @@ def sharded_lm_optimize_pcg_planes(
     )
 
     pose_free, lm_free = _free_masks(g)
+    L = g.landmarks.shape[0]
     edge_args = _edge_args(g)
     plane_args = (pn.pe_k, pn.pe_p, pn.pe_meas, pn.pe_info, pn.pe_mask())
+    block_free = jnp.concatenate([lm_free, pn.plane_mask()])
 
-    def body(
-        poses, landmarks, planes, pose_free, lm_free, plane_free,
-        prior, edges, pargs,
-    ):
-        p, l, pl, stats, _ = run_lm_loop_pcg_planes(
-            poses, landmarks, planes, edges, pargs, pose_free, lm_free,
-            plane_free, lambda x: jax.lax.psum(x, axis_name),
-            max_iterations, rel_tol, max_cg_iters,
-            precond_kind=precond_kind, prior=prior, assembly=assembly,
-            ell_rows=ell_rows,
-        )
-        return p, l, pl, stats
+    kind = resolve_assembly(
+        assembly, ell_ok=ell_rows is not None and len(ell_rows) >= 4
+    )
+    if kind == "ell" and g.poses.shape[0] % n != 0:
+        kind = "matmul"  # pose-row sharding needs K divisible by the mesh
 
     prior_spec = None if prior is None else type(prior)(*(P() for _ in prior))
 
-    def body_no_prior(
-        poses, landmarks, planes, pose_free, lm_free, plane_free, edges, pargs
-    ):
-        return body(
-            poses, landmarks, planes, pose_free, lm_free, plane_free,
-            None, edges, pargs,
+    if kind == "ell":
+        K = g.poses.shape[0]
+        Kb = K // n
+        ee = build_ell_edges_planes(
+            edge_args, plane_args, K, ell_rows[2], ell_rows[3]
         )
 
-    node_specs = (P(), P(), P(), P(), P(), P())
-    e_specs = (
-        tuple(P(axis_name) for _ in edge_args),
-        tuple(P(axis_name) for _ in plane_args),
-    )
-    sharded = jax.shard_map(
-        body_no_prior if prior is None else body,
-        mesh=mesh,
-        in_specs=(
-            node_specs + e_specs
+        def body_ell(
+            poses, landmarks, planes, pose_free, lm_free, plane_free,
+            prior, ee_loc,
+        ):
+            off = jax.lax.axis_index(axis_name) * Kb
+            ar = lambda a: jax.lax.psum(a, axis_name)
+            p, l, pl, stats, eb_f = run_lm_loop_pcg_ellk_planes(
+                poses, landmarks, planes, (), (), pose_free, lm_free,
+                plane_free, max_iterations, rel_tol, max_cg_iters,
+                robust_kind=robust_kind, robust_delta=robust_delta,
+                init_lambda=init_lambda, cg_tol=cg_tol,
+                precond_kind=precond_kind, prior=prior, ell_rows=ell_rows,
+                allreduce=ar, shard=(off, K), ee=ee_loc,
+            )
+            if with_marginals:
+                bf = jnp.concatenate([lm_free, plane_free])
+                marg = landmark_marginals_mf_ellk(
+                    eb_f, pose_free, bf, prior=prior, allreduce=ar,
+                    shard=(off, K),
+                )[:L]
+                return p, l, pl, stats, marg
+            return p, l, pl, stats
+
+        def body_ell_np(
+            poses, landmarks, planes, pose_free, lm_free, plane_free, ee_loc
+        ):
+            return body_ell(
+                poses, landmarks, planes, pose_free, lm_free, plane_free,
+                None, ee_loc,
+            )
+
+        ee_spec = EllEdgesPlanes(
+            pt=EllEdges(*(P(axis_name) for _ in ee.pt)),
+            pl=P(axis_name), pmeas=P(axis_name), pinfo=P(axis_name),
+        )
+        out_specs = (P(), P(), P(), LMStats(P(), P(), P(), P()))
+        if with_marginals:
+            out_specs = out_specs + (P(),)
+        node_specs = (P(), P(), P(), P(), P(), P())
+        sharded = jax.shard_map(
+            body_ell_np if prior is None else body_ell,
+            mesh=mesh,
+            in_specs=(
+                node_specs + ((ee_spec,) if prior is None
+                              else (prior_spec, ee_spec))
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        node_args = (
+            g.poses, g.landmarks, pn.planes, pose_free, lm_free,
+            pn.plane_mask(),
+        )
+        out = (
+            sharded(*node_args, ee)
             if prior is None
-            else node_specs + (prior_spec,) + e_specs
-        ),
-        out_specs=(P(), P(), P(), LMStats(P(), P(), P(), P())),
-        check_vma=False,
-    )
-    node_args = (
-        g.poses, g.landmarks, pn.planes, pose_free, lm_free, pn.plane_mask(),
-    )
-    if prior is None:
-        poses, landmarks, planes, stats = sharded(
-            *node_args, edge_args, plane_args
+            else sharded(*node_args, prior, ee)
         )
+        poses, landmarks, planes, stats = out[0], out[1], out[2], out[3]
+        marg = out[4] if with_marginals else None
     else:
-        poses, landmarks, planes, stats = sharded(
-            *node_args, prior, edge_args, plane_args
+        def body(
+            poses, landmarks, planes, pose_free, lm_free, plane_free,
+            prior, edges, pargs,
+        ):
+            ar = lambda x: jax.lax.psum(x, axis_name)
+            p, l, pl, stats, eb_f = run_lm_loop_pcg_planes(
+                poses, landmarks, planes, edges, pargs, pose_free, lm_free,
+                plane_free, ar,
+                max_iterations, rel_tol, max_cg_iters,
+                robust_kind=robust_kind, robust_delta=robust_delta,
+                init_lambda=init_lambda,
+                precond_kind=precond_kind, prior=prior, assembly=kind,
+            )
+            if with_marginals:
+                bf = jnp.concatenate([lm_free, plane_free])
+                marg = landmark_marginals_mf(
+                    eb_f, pose_free, bf, ar, prior=prior
+                )[:L]
+                return p, l, pl, stats, marg
+            return p, l, pl, stats
+
+        def body_no_prior(
+            poses, landmarks, planes, pose_free, lm_free, plane_free,
+            edges, pargs,
+        ):
+            return body(
+                poses, landmarks, planes, pose_free, lm_free, plane_free,
+                None, edges, pargs,
+            )
+
+        node_specs = (P(), P(), P(), P(), P(), P())
+        e_specs = (
+            tuple(P(axis_name) for _ in edge_args),
+            tuple(P(axis_name) for _ in plane_args),
         )
+        out_specs = (P(), P(), P(), LMStats(P(), P(), P(), P()))
+        if with_marginals:
+            out_specs = out_specs + (P(),)
+        sharded = jax.shard_map(
+            body_no_prior if prior is None else body,
+            mesh=mesh,
+            in_specs=(
+                node_specs + e_specs
+                if prior is None
+                else node_specs + (prior_spec,) + e_specs
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        node_args = (
+            g.poses, g.landmarks, pn.planes, pose_free, lm_free,
+            pn.plane_mask(),
+        )
+        if prior is None:
+            out = sharded(*node_args, edge_args, plane_args)
+        else:
+            out = sharded(*node_args, prior, edge_args, plane_args)
+        poses, landmarks, planes, stats = out[0], out[1], out[2], out[3]
+        marg = out[4] if with_marginals else None
 
     run = (g.num_edges() + pn.num_pe) >= min_edges
     g = g._replace(
@@ -2056,6 +2086,8 @@ def sharded_lm_optimize_pcg_planes(
         chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
         lambda_final=stats.lambda_final,
     )
+    if with_marginals:
+        return g, pn, stats, marg
     return g, pn, stats
 
 
@@ -2064,7 +2096,7 @@ def sharded_lm_optimize_pcg_planes(
     static_argnames=(
         "mesh", "axis_name", "max_iterations", "min_edges", "rel_tol",
         "max_cg_iters", "precond_kind", "assembly", "with_marginals",
-        "ell_rows",
+        "ell_rows", "robust_kind", "robust_delta", "cg_tol",
     ),
 )
 def sharded_lm_optimize_pcg(
@@ -2080,6 +2112,10 @@ def sharded_lm_optimize_pcg(
     assembly: str = "auto",
     with_marginals: bool = False,
     ell_rows: tuple | None = None,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+    init_lambda=0.0,
+    cg_tol: float = 1e-8,
 ):
     """Edge-sharded matrix-free LM: ~[6K]+[3L] of psum traffic per CG step.
     ``prior`` (fixed-lag MarginalPrior) is replicated; its blocks are folded
@@ -2105,21 +2141,30 @@ def sharded_lm_optimize_pcg(
     edge_args = _edge_args(g)
 
     kind = resolve_assembly(assembly, ell_ok=ell_rows is not None)
-    if kind == "ell" and not with_marginals:
+    if kind == "ell" and g.poses.shape[0] % n != 0:
+        kind = "matmul"  # pose-row sharding needs K divisible by the mesh
+    if kind == "ell":
         K = g.poses.shape[0]
-        assert K % n == 0, "pose-row ELL sharding needs K divisible by n"
         Kb = K // n
         ee = build_ell_edges(edge_args, K, ell_rows[2])
 
         def body_ell(poses, landmarks, pose_free, lm_free, prior, ee_loc):
             off = jax.lax.axis_index(axis_name) * Kb
-            p, l, stats, _ = run_lm_loop_pcg_ellk(
+            ar = lambda a: jax.lax.psum(a, axis_name)
+            p, l, stats, eb_f = run_lm_loop_pcg_ellk(
                 poses, landmarks, (), pose_free, lm_free,
                 max_iterations, rel_tol, max_cg_iters,
+                robust_kind=robust_kind, robust_delta=robust_delta,
+                init_lambda=init_lambda, cg_tol=cg_tol,
                 precond_kind=precond_kind, prior=prior, ell_rows=ell_rows,
-                allreduce=lambda a: jax.lax.psum(a, axis_name),
-                shard=(off, K), ee=ee_loc,
+                allreduce=ar, shard=(off, K), ee=ee_loc,
             )
+            if with_marginals:
+                marg = landmark_marginals_mf_ellk(
+                    eb_f, pose_free, lm_free, prior=prior,
+                    allreduce=ar, shard=(off, K),
+                )
+                return p, l, stats, marg
             return p, l, stats
 
         def body_ell_np(poses, landmarks, pose_free, lm_free, ee_loc):
@@ -2129,6 +2174,9 @@ def sharded_lm_optimize_pcg(
             None if prior is None else type(prior)(*(P() for _ in prior))
         )
         ee_spec = EllEdges(*(P(axis_name) for _ in ee))
+        out_specs = (P(), P(), LMStats(P(), P(), P(), P()))
+        if with_marginals:
+            out_specs = out_specs + (P(),)
         sharded = jax.shard_map(
             body_ell_np if prior is None else body_ell,
             mesh=mesh,
@@ -2136,17 +2184,14 @@ def sharded_lm_optimize_pcg(
                 (P(), P(), P(), P()) + ((ee_spec,) if prior is None
                                         else (prior_spec, ee_spec))
             ),
-            out_specs=(P(), P(), LMStats(P(), P(), P(), P())),
+            out_specs=out_specs,
             check_vma=False,
         )
         if prior is None:
-            poses, landmarks, stats = sharded(
-                g.poses, g.landmarks, pose_free, lm_free, ee
-            )
+            out = sharded(g.poses, g.landmarks, pose_free, lm_free, ee)
         else:
-            poses, landmarks, stats = sharded(
-                g.poses, g.landmarks, pose_free, lm_free, prior, ee
-            )
+            out = sharded(g.poses, g.landmarks, pose_free, lm_free, prior, ee)
+        poses, landmarks, stats = out[0], out[1], out[2]
         run = g.num_edges() >= min_edges
         g = g._replace(
             poses=jnp.where(run, poses, g.poses),
@@ -2158,6 +2203,8 @@ def sharded_lm_optimize_pcg(
             chi2_final=jnp.where(run, stats.chi2_final, stats.chi2_initial),
             lambda_final=stats.lambda_final,
         )
+        if with_marginals:
+            return g, stats, out[3]
         return g, stats
 
     def body(poses, landmarks, pose_free, lm_free, prior, *edges):
@@ -2165,8 +2212,10 @@ def sharded_lm_optimize_pcg(
         p, l, stats, eb_f = run_lm_loop_pcg(
             poses, landmarks, edges, pose_free, lm_free,
             allreduce, max_iterations, rel_tol,
-            max_cg_iters, precond_kind=precond_kind, prior=prior,
-            assembly=assembly, ell_rows=ell_rows,
+            max_cg_iters, robust_kind=robust_kind, robust_delta=robust_delta,
+            init_lambda=init_lambda, cg_tol=cg_tol,
+            precond_kind=precond_kind, prior=prior,
+            assembly=kind,
         )
         if with_marginals:
             marg = landmark_marginals_mf(

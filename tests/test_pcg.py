@@ -434,6 +434,30 @@ class TestEllAssembly:
             np.add.at(want, idx, vals[:e_real])
             np.testing.assert_allclose(got, want, atol=1e-12)
 
+    def test_count_uncovered_guard(self, rng):
+        """assembly.count_uncovered: 0 for contract-satisfying graphs (the
+        engine invariant), loud nonzero for violations — so a future edge
+        type that breaks the sorted/bounded contract fails in tests instead
+        of being silently dropped from TPU solves (ADVICE r3 #3)."""
+        from semantic_slam_tpu.solver.assembly import count_uncovered
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        K = g.poses.shape[0]
+        # engine-layout edges: fully covered
+        assert int(count_uncovered(g.lme_k, g.lme_mask(), K, ell_rows[2])) == 0
+        assert int(count_uncovered(g.odom_i, g.odom_mask(), K, 1)) == 0
+        # bound violation: r too small for the per-pose count
+        if ell_rows[2] > 1:
+            dropped = int(
+                count_uncovered(g.lme_k, g.lme_mask(), K, ell_rows[2] - 1)
+            )
+            assert dropped > 0
+        # unsorted prefix: reversing the masked indices breaks the contract
+        n = int(g.num_lme)
+        rev = g.lme_k.at[:n].set(g.lme_k[:n][::-1])
+        assert int(count_uncovered(rev, g.lme_mask(), K, ell_rows[2])) > 0
+
     def test_pcg_ell_matches_scatter(self, rng):
         g, _, _ = build_chain_graph(rng, noise=0.05)
         g, ell_rows = _sort_obs_edges(g)
@@ -507,6 +531,142 @@ class TestEllAssembly:
         )
         np.testing.assert_allclose(
             np.asarray(pb.planes), np.asarray(pa.planes), atol=1e-9
+        )
+
+    def test_sharded_ell_with_marginals_matches_single(self, rng):
+        """r4: pose-row ELL sharding now covers with_marginals (the maha
+        profiles' required recovery) — no fallback to slower layouts."""
+        from semantic_slam_tpu.parallel.sharded import make_mesh
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        g1, s1, m1 = pcg_mod.lm_optimize_pcg(
+            g, max_iterations=20, assembly="ell", ell_rows=ell_rows,
+            with_marginals=True,
+        )
+        mesh = make_mesh(4)
+        g2, s2, m2 = pcg_mod.sharded_lm_optimize_pcg(
+            g, mesh, max_iterations=20, assembly="ell", ell_rows=ell_rows,
+            with_marginals=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(s2.chi2_final), float(s1.chi2_final), rtol=1e-8
+        )
+
+    def test_sharded_ell_with_marginals_prior(self, rng):
+        """Pose-row sharded marginals with a fixed-lag prior (Woodbury fold
+        inside the mesh) match the single-chip per-pose recovery."""
+        from semantic_slam_tpu.parallel.sharded import make_mesh
+        from semantic_slam_tpu.solver import fixed_lag as fl
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, _ = _sort_obs_edges(g)
+        L = g.landmarks.shape[0]
+        g2, prior, _ = fl.marginalize(g, fl.empty_prior(L, dtype=jnp.float64), drop=4)
+        g2, ell_rows = _sort_obs_edges(g2)
+        g1, _, m1 = pcg_mod.lm_optimize_pcg(
+            g2, max_iterations=15, assembly="ell", ell_rows=ell_rows,
+            prior=prior, with_marginals=True,
+        )
+        mesh = make_mesh(4)
+        g3, _, m3 = pcg_mod.sharded_lm_optimize_pcg(
+            g2, mesh, max_iterations=15, assembly="ell", ell_rows=ell_rows,
+            prior=prior, with_marginals=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g3.poses), np.asarray(g1.poses), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(m3), np.asarray(m1), rtol=1e-6, atol=1e-9
+        )
+
+    def _planes_fixture(self, rng):
+        from semantic_slam_tpu.graph import planes as planes_ext
+        from semantic_slam_tpu.solver.plane_ba import observe_plane
+
+        g, _, _ = build_chain_graph(rng, noise=0.05)
+        g, ell_rows = _sort_obs_edges(g)
+        pn = planes_ext.make_planes(4, 32, dtype=jnp.float64)
+        pw = jnp.asarray([0.0, 0.0, 1.0, -1.2], jnp.float64)
+        pn, pid = planes_ext.add_plane_node(pn, pw)
+        info3 = jnp.eye(3, dtype=jnp.float64) * 25.0
+        for k in range(0, min(12, int(g.num_poses)), 2):
+            pn = planes_ext.add_se3_plane_edge(
+                pn, k, pid, observe_plane(g.poses[k], pw), info3
+            )
+        return g, pn, ell_rows + (1,)
+
+    def test_sharded_planes_ell_matches_single(self, rng):
+        """r4: the sharded planes path runs the pose-row merged point+plane
+        grid (r3 kept the slot-gather layout there)."""
+        from semantic_slam_tpu.parallel.sharded import make_mesh
+
+        g, pn, ell_rows4 = self._planes_fixture(rng)
+        g1, p1, s1 = pcg_mod.lm_optimize_pcg_planes(
+            g, pn, max_iterations=20, assembly="ell", ell_rows=ell_rows4
+        )
+        mesh = make_mesh(4)
+        g2, p2, s2 = pcg_mod.sharded_lm_optimize_pcg_planes(
+            g, pn, mesh, max_iterations=20, assembly="ell",
+            ell_rows=ell_rows4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(p2.planes), np.asarray(p1.planes), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            float(s2.chi2_final), float(s1.chi2_final), rtol=1e-8
+        )
+
+    def test_sharded_planes_ell_with_marginals(self, rng):
+        """Maha + planes under the mesh: point-landmark marginal blocks from
+        the merged pose-row grid match the single-chip recovery."""
+        from semantic_slam_tpu.parallel.sharded import make_mesh
+
+        g, pn, ell_rows4 = self._planes_fixture(rng)
+        g1, p1, s1, m1 = pcg_mod.lm_optimize_pcg_planes(
+            g, pn, max_iterations=15, assembly="ell", ell_rows=ell_rows4,
+            with_marginals=True,
+        )
+        mesh = make_mesh(4)
+        g2, p2, s2, m2 = pcg_mod.sharded_lm_optimize_pcg_planes(
+            g, pn, mesh, max_iterations=15, assembly="ell",
+            ell_rows=ell_rows4, with_marginals=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-9
+        )
+
+    def test_sharded_planes_matmul_with_marginals(self, rng):
+        """The generic (one-hot) sharded planes path also supports
+        with_marginals now (fallback for K % n != 0)."""
+        from semantic_slam_tpu.parallel.sharded import make_mesh
+
+        g, pn, _ = self._planes_fixture(rng)
+        g1, p1, s1, m1 = pcg_mod.lm_optimize_pcg_planes(
+            g, pn, max_iterations=15, assembly="scatter", with_marginals=True
+        )
+        mesh = make_mesh(4)
+        g2, p2, s2, m2 = pcg_mod.sharded_lm_optimize_pcg_planes(
+            g, pn, mesh, max_iterations=15, assembly="scatter",
+            with_marginals=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2.poses), np.asarray(g1.poses), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2), np.asarray(m1), rtol=1e-5, atol=1e-8
         )
 
     def test_marginals_graph_ell_matches_default(self, rng):
