@@ -105,9 +105,21 @@ def tpu_ms_per_iter():
     # matmuls — solver/assembly.py) is the recommended TPU path and the
     # headline; the one-hot variant stays as an in-run A/B reference.
     from __graft_entry__ import _ell_rows_for
+    from semantic_slam_tpu.solver import ellk_soa as soa_mod
 
     ell_rows = _ell_rows_for(K, E2)
     t_start = time.perf_counter()
+    # r4 headline: SoA layout + VMEM-resident Pallas CG (solver/ellk_soa.py
+    # + solver/pallas_cg.py) — measured 2.3-2.5x the r3 per-pose layout at
+    # fixed work on K=2048/4096
+    soa = measure(
+        "soa_pallas",
+        lambda g: soa_mod.lm_optimize_soa(
+            g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
+            ell_rows=ell_rows, cg_tol=0.0,
+        ),
+    )
+    best = soa
     pcg32 = measure(
         "pcg32_ell",
         lambda g: pcg_mod.lm_optimize_pcg(
@@ -115,7 +127,7 @@ def tpu_ms_per_iter():
             ell_rows=ell_rows, cg_tol=0.0,
         ),
     )
-    best = pcg32
+    best = min(best, pcg32)
     if time.perf_counter() - t_start < 300.0:
         pcg = measure(
             "pcg32_onehot",
@@ -151,7 +163,7 @@ def tpu_ms_per_iter():
         )
 
         def traced():
-            out, _ = pcg_mod.lm_optimize_pcg(
+            out, _ = soa_mod.lm_optimize_soa(
                 g_t, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
                 ell_rows=ell_rows, cg_tol=0.0,
             )
@@ -159,11 +171,11 @@ def tpu_ms_per_iter():
 
         tracer = Tracer("/tmp/bench_trace")
         mods = tracer.trace(traced)
-        durs = mods.get("jit_lm_optimize_pcg", [])
+        durs = mods.get("jit_lm_optimize_soa", [])
         if durs:
             device = sum(durs) / ITERS
             print(
-                f"[bench] pcg32_ell device lane: {device:.3f} ms/iter",
+                f"[bench] soa_pallas device lane: {device:.3f} ms/iter",
                 file=sys.stderr,
             )
     except Exception as e:  # pragma: no cover - profiler flake
@@ -183,7 +195,7 @@ def tpu_ms_per_iter():
         rows4 = _ell_rows_for(K4, E4)
 
         def traced4():
-            out, _ = pcg_mod.lm_optimize_pcg(
+            out, _ = soa_mod.lm_optimize_soa(
                 g_4, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
                 ell_rows=rows4, cg_tol=0.0,
             )
@@ -191,11 +203,11 @@ def tpu_ms_per_iter():
 
         traced4()  # compile + warmup (compilation cache makes this cheap)
         mods4 = Tracer("/tmp/bench_trace_k4096").trace(traced4)
-        durs4 = mods4.get("jit_lm_optimize_pcg", [])
+        durs4 = mods4.get("jit_lm_optimize_soa", [])
         if durs4:
             device_k4096 = sum(durs4) / ITERS
             print(
-                f"[bench] pcg32_ell K=4096 device lane: "
+                f"[bench] soa_pallas K=4096 device lane: "
                 f"{device_k4096:.3f} ms/iter",
                 file=sys.stderr,
             )

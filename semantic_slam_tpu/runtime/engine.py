@@ -71,6 +71,24 @@ class KeyframeMeta:
     depth_scale: float = 1e-3
 
 
+def _soa_dispatch(linear_solver: str, mesh, ell_rows) -> bool:
+    """Static (trace-time) choice of the single-chip PCG implementation:
+    the SoA + VMEM-resident-Pallas-CG solver (solver/ellk_soa.py — the
+    r4 fast path, ~2.3-2.5x the r3 per-pose layout at K>=2048) on TPU,
+    the portable pcg module elsewhere. SLAM_SOLVER_IMPL=soa|pcg forces
+    either (read per trace, like SLAM_ASSEMBLY a process-level knob)."""
+    import os
+
+    forced = os.environ.get("SLAM_SOLVER_IMPL", "auto")
+    if forced == "pcg":
+        return False
+    if linear_solver != "pcg" or mesh is not None or ell_rows is None:
+        return False
+    if forced == "soa":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @jax.jit
 def _ingest_keyframe(graph: gs.GraphState, odom7, prev_odom7, has_prev, info6):
     graph, idx = gs.add_se3_node(graph, odom7)
@@ -492,16 +510,28 @@ def _optimize_tick_impl(
             )
             (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
         elif linear_solver == "pcg":
-            from semantic_slam_tpu.solver import pcg as pcg_mod
+            if _soa_dispatch(linear_solver, mesh, ell_rows):
+                from semantic_slam_tpu.solver import ellk_soa as soa_mod
 
-            out = pcg_mod.lm_optimize_pcg(
-                g, max_iterations=max_iterations, min_edges=min_edges,
-                rel_tol=rel_tol, max_cg_iters=pcg_iters,
-                robust_kind=robust_kind, robust_delta=robust_delta,
-                init_lambda=init_lambda, precond_kind=pcg_precond,
-                prior=prior, with_marginals=need_marginals,
-                ell_rows=ell_rows,
-            )
+                out = soa_mod.lm_optimize_soa(
+                    g, max_iterations=max_iterations, min_edges=min_edges,
+                    rel_tol=rel_tol, max_cg_iters=pcg_iters,
+                    robust_kind=robust_kind, robust_delta=robust_delta,
+                    init_lambda=init_lambda, precond_kind=pcg_precond,
+                    prior=prior, with_marginals=need_marginals,
+                    ell_rows=ell_rows,
+                )
+            else:
+                from semantic_slam_tpu.solver import pcg as pcg_mod
+
+                out = pcg_mod.lm_optimize_pcg(
+                    g, max_iterations=max_iterations, min_edges=min_edges,
+                    rel_tol=rel_tol, max_cg_iters=pcg_iters,
+                    robust_kind=robust_kind, robust_delta=robust_delta,
+                    init_lambda=init_lambda, precond_kind=pcg_precond,
+                    prior=prior, with_marginals=need_marginals,
+                    ell_rows=ell_rows,
+                )
             (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
         elif prior is not None:
             from semantic_slam_tpu.solver import fixed_lag as fl

@@ -143,6 +143,29 @@ def diag_embed_blocks(D: jax.Array) -> jax.Array:
 # row, so capacity padding and ragged counts cost nothing.
 
 
+def _row_counts(key: jax.Array, n: int) -> jax.Array:
+    """#edges per output row, [n] i32 — a two-level (hi/lo digit) one-hot
+    count: O(E*sqrt(n)) compares + one wide MXU contraction, instead of the
+    O(E*n) flat compare or a serial bincount. (Same digit trick as
+    pcg._seg_sum_l; narrow flat one-hots run at VPU compare speed —
+    CLAUDE.md r3 note.)"""
+    E = key.shape[0]
+    lo_w = 1
+    while lo_w * lo_w < n:
+        lo_w *= 2
+    hi = -(-n // lo_w)
+    lo_e = key % lo_w
+    hi_e = key // lo_w
+    oh_lo = (
+        lo_e[:, None] == jnp.arange(lo_w, dtype=key.dtype)[None, :]
+    ).astype(jnp.float32)
+    oh_hi = (
+        hi_e[:, None] == jnp.arange(hi, dtype=key.dtype)[None, :]
+    ).astype(jnp.float32)
+    T = jnp.einsum("eh,el->hl", oh_hi, oh_lo)  # [hi, lo_w] counts
+    return T.reshape(hi * lo_w)[:n].astype(jnp.int32)
+
+
 def build_slots(idx: jax.Array, mask: jax.Array, n: int, r: int) -> jax.Array:
     """[n, r] ELL slot table for a sorted, bounded segment index vector.
 
@@ -151,11 +174,16 @@ def build_slots(idx: jax.Array, mask: jax.Array, n: int, r: int) -> jax.Array:
     prefix of ``idx`` nondecreasing with at most ``r`` entries per value
     (the caller's contract; violations silently drop edges ``r+1...``).
     Returns slot positions into the edge axis, or -1 for empty slots.
+
+    Implementation: per-row counts + exclusive cumsum. jnp.searchsorted
+    (the r3 form) lowers to binary-search WHILE loops on TPU — four serial
+    loops of ~400 us each per solve at K=4096 (profiled r4); the count form
+    is equivalent for sorted keys and fully parallel.
     """
     key = jnp.where(mask, idx, n).astype(jnp.int32)  # pad tail sorts last
-    rows = jnp.arange(n, dtype=jnp.int32)
-    lo = jnp.searchsorted(key, rows, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(key, rows, side="right").astype(jnp.int32)
+    counts = _row_counts(key, n)
+    hi = jnp.cumsum(counts).astype(jnp.int32)
+    lo = hi - counts
     slots = lo[:, None] + jnp.arange(r, dtype=jnp.int32)[None, :]
     return jnp.where(slots < hi[:, None], slots, -1)
 
@@ -171,7 +199,12 @@ def count_uncovered(idx: jax.Array, mask: jax.Array, n: int, r: int) -> jax.Arra
     covered = covered.at[jnp.where(slots >= 0, slots, idx.shape[0])].set(
         1, mode="drop"
     )
-    return jnp.sum(mask.astype(jnp.int32)) - jnp.sum(covered[:-1])
+    # counts are order-invariant, so coverage alone cannot see a mis-sorted
+    # prefix (it would mis-ATTRIBUTE edges, not drop them) — check the
+    # monotonicity contract explicitly
+    key = jnp.where(mask, idx, n).astype(jnp.int32)
+    inversions = jnp.sum((key[1:] < key[:-1]).astype(jnp.int32))
+    return jnp.sum(mask.astype(jnp.int32)) - jnp.sum(covered[:-1]) + inversions
 
 
 def slot_sum(vals: jax.Array, slots: jax.Array) -> jax.Array:

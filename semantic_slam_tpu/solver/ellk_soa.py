@@ -57,8 +57,6 @@ from semantic_slam_tpu.solver.pcg import (
     EllBlocks,
     EllEdges,
     _edge_args,
-    _gather_l,
-    _seg_sum_l,
     apply_prior_blocks,
     build_ell_edges,
     landmark_marginals_mf_ellk,
@@ -179,6 +177,19 @@ class SoAEdges(NamedTuple):
     o_meas: jax.Array  # [K, 7]
     o_info: jax.Array  # [K, 6, 6]
     o_w: jax.Array  # [K]
+    # two-level one-hot factors of ll (pcg._seg_sum_l digit split),
+    # MATERIALIZED once per solve: nested in the LM while, XLA fails to
+    # hoist the loop-invariant compares out of the CG while, re-running
+    # them every CG step (profiled r4: ~30 us/step of compare/reshape ops
+    # at K=4096). ~5 MB resident; each step just feeds them to the MXU.
+    oh_lo: jax.Array  # [E, lo_w] f32 (K-major flats — the XLA path)
+    oh_hi: jax.Array  # [E, hi] f32
+    # r-major DIGIT vectors for the VMEM-resident Pallas CG kernel
+    # (solver/pallas_cg.py): slot (r,k) at r*K+k; the kernel regenerates
+    # its one-hot blocks from these via iota compares (keeping the full
+    # factors resident blew the K=4096 VMEM budget)
+    k_lo_dig: jax.Array  # [1, E] i32
+    k_hi_dig: jax.Array  # [1, E] i32
 
 
 class SoALin(NamedTuple):
@@ -199,12 +210,33 @@ class SoALin(NamedTuple):
     chi2: jax.Array
 
 
-def build_soa_edges(edge_args: tuple, K: int, R: int) -> SoAEdges:
+def build_soa_edges(edge_args: tuple, K: int, R: int, L: int) -> SoAEdges:
     ee = build_ell_edges(edge_args, K, R)
-    return soa_from_ell_edges(ee)
+    return soa_from_ell_edges(ee, L)
 
 
-def soa_from_ell_edges(ee: EllEdges) -> SoAEdges:
+def soa_from_ell_edges(ee: EllEdges, L: int | None = None) -> SoAEdges:
+    from semantic_slam_tpu.solver.pcg import _factor_l
+
+    if L is None:
+        raise TypeError("soa_from_ell_edges requires L (landmark capacity)")
+    dtype = ee.meas.dtype
+    ll_flat = ee.ll.reshape(-1)
+    hi, lo_w = _factor_l(L)
+    lo_e = ll_flat % lo_w
+    hi_e = ll_flat // lo_w
+    oh_lo = (
+        lo_e[:, None] == jnp.arange(lo_w, dtype=ll_flat.dtype)[None, :]
+    ).astype(dtype)
+    oh_hi = (
+        hi_e[:, None] == jnp.arange(hi, dtype=ll_flat.dtype)[None, :]
+    ).astype(dtype)
+    from semantic_slam_tpu.solver.pallas_cg import digit_split
+
+    klo_w, _ = digit_split(L)  # kernel split (floored at 16 — Mosaic)
+    ll_r = jnp.transpose(ee.ll).reshape(1, -1)  # r-major slot order
+    k_lo_dig = (ll_r % klo_w).astype(jnp.int32)
+    k_hi_dig = (ll_r // klo_w).astype(jnp.int32)
     return SoAEdges(
         ll=ee.ll,
         meas=jnp.transpose(ee.meas, (2, 1, 0)),
@@ -212,7 +244,37 @@ def soa_from_ell_edges(ee: EllEdges) -> SoAEdges:
         o_meas=ee.o_meas,
         o_info=ee.o_info,
         o_w=ee.o_w,
+        oh_lo=oh_lo,
+        oh_hi=oh_hi,
+        k_lo_dig=k_lo_dig,
+        k_hi_dig=k_hi_dig,
     )
+
+
+def _seg_sum_oh(oh_lo, oh_hi, vals, L):
+    """pcg._seg_sum_l with the one-hot factors PRECOMPUTED (see SoAEdges).
+    vals [E, D] -> [L, D]; float-identical contraction."""
+    E, D = vals.shape
+    lo_w = oh_lo.shape[1]
+    hi = oh_hi.shape[1]
+    P = oh_lo[:, :, None] * vals[:, None, :]  # [E, lo_w, D]
+    T = jnp.einsum("eh,eld->hld", oh_hi, P)
+    return T.reshape(hi * lo_w, D)[:L]
+
+
+def _gather_oh(oh_lo, oh_hi, table, L):
+    """pcg._gather_l with precomputed one-hot factors. [L, D] -> [E, D]."""
+    E = oh_lo.shape[0]
+    lo_w = oh_lo.shape[1]
+    hi = oh_hi.shape[1]
+    D = table.shape[1]
+    dtype = table.dtype
+    pad = hi * lo_w - L
+    Tt = jnp.concatenate(
+        [table, jnp.zeros((pad, D), dtype)]
+    ).reshape(hi, lo_w * D)
+    w = (oh_hi @ Tt).reshape(E, lo_w, D)
+    return jnp.einsum("el,eld->ed", oh_lo, w)
 
 
 def soa_linearize(
@@ -250,7 +312,7 @@ def soa_linearize(
     # kept [3,3,1,K]: broadcasting supplies the R axis inside each product,
     # so every CG step re-reads 9*K floats of rotation, not 9*R*K
 
-    lw = _gather_l(se.ll.reshape(-1), landmarks, L)  # [E, 3] (MXU two-level)
+    lw = _gather_oh(se.oh_lo, se.oh_hi, landmarks, L)  # [E, 3] (MXU)
     lw_ch = jnp.transpose(lw.reshape(K, R, 3), (2, 1, 0))  # [3, R, K]
     d = lw_ch - t_ch
     v = _m33_vec(Rt, d)  # [3, R, K]
@@ -276,8 +338,8 @@ def soa_linearize(
         [jnp.sum(g_top, axis=1), jnp.sum(g_bot, axis=1)], axis=0
     )  # [6, K]
     gl_e = _m33T_vec(Rt, Or)  # [3, R, K]
-    gl = _seg_sum_l(
-        se.ll.reshape(-1),
+    gl = _seg_sum_oh(
+        se.oh_lo, se.oh_hi,
         jnp.transpose(gl_e, (2, 1, 0)).reshape(K * R, 3),
         L,
     )
@@ -285,8 +347,8 @@ def soa_linearize(
     # landmark blocks: Hll_e = Rt^T O' Rt  (per edge), seg-summed
     ORt = _m33_mul(Ow, Rt)  # [3,3,R,K]
     Hll_e = _m33T_mul(Rt, ORt)
-    Hll = _seg_sum_l(
-        se.ll.reshape(-1),
+    Hll = _seg_sum_oh(
+        se.oh_lo, se.oh_hi,
         jnp.transpose(Hll_e, (3, 2, 0, 1)).reshape(K * R, 9),
         L,
     ).reshape(L, 3, 3)
@@ -321,6 +383,48 @@ def soa_linearize(
         diag=diag,
         chi2=chi_o + chi_l,
     )
+
+
+def soa_chi2(
+    poses,
+    landmarks,
+    se: SoAEdges,
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+    prior=None,
+):
+    """Objective value only — the trial-point evaluation of the LM loop.
+
+    Float-IDENTICAL to ``soa_linearize(...).chi2`` (same op order on the
+    residual path, same prior term as apply_prior_blocks adds), at ~1/4 the
+    cost: no jacobians, no block products, no seg-sums. Keeping the loop's
+    accept/reject decisions bitwise-equal to the carry-the-blocks scheme is
+    what lets run_lm_loop_soa drop the 7 MB linearization tree from the
+    while carry (measured: the tree carry cost more than the relinearize
+    it saved)."""
+    K, R = se.ll.shape
+    L = landmarks.shape[0]
+
+    pj = jnp.roll(poses, -1, axis=0)
+    r_o = jax.vmap(res.se3_edge_residual)(poses, pj, se.o_meas)
+    chi_o = jnp.einsum("ka,kab,kb->", r_o, se.o_info, r_o)
+
+    t_ch = jnp.transpose(poses[:, :3])[:, None, :]
+    qw, qx, qy, qz = (poses[:, 3], poses[:, 4], poses[:, 5], poses[:, 6])
+    Rt = _rotmat_conj_channels(qw, qx, qy, qz)[:, :, None, :]
+    lw = _gather_oh(se.oh_lo, se.oh_hi, landmarks, L)
+    lw_ch = jnp.transpose(lw.reshape(K, R, 3), (2, 1, 0))
+    v = _m33_vec(Rt, lw_ch - t_ch)
+    r = v - se.meas
+    Or = _m33_vec(se.info, r)
+    chi_e = sum(r[i] * Or[i] for i in range(3))
+    chi_l = jnp.sum(robust_rho(chi_e.reshape(-1), robust_kind, robust_delta))
+    chi = chi_o + chi_l
+    if prior is not None:
+        from semantic_slam_tpu.solver import fixed_lag as fl
+
+        chi = chi + fl.prior_chi2(prior, poses, landmarks)
+    return chi
 
 
 def _shift_down_aos(a):
@@ -391,7 +495,7 @@ def _obs_apply_jpT(v, y):
 
 def soa_schur_step(
     lin: SoALin,
-    ll: jax.Array,
+    se: SoAEdges,
     lam,
     pose_free,
     block_free,
@@ -399,6 +503,8 @@ def soa_schur_step(
     precond_kind: str = "jacobi",
     prior=None,
     cg_tol: float = 1e-8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """pcg.ell_schur_step on SoA state: returns (dp [K,6], db [L,3])."""
     dtype = lin.gp.dtype
@@ -410,9 +516,8 @@ def soa_schur_step(
     lmf = block_free.astype(dtype)
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
-    ll_flat = ll.reshape(-1)
 
-    # bundle the matvec primitives (incl. the slot->landmark index table)
+    # bundle the matvec primitives (incl. the precomputed one-hot factors)
     class _L(NamedTuple):
         v: jax.Array
         Ow: jax.Array
@@ -420,9 +525,13 @@ def soa_schur_step(
         Hii: jax.Array
         Hij: jax.Array
         Hjj: jax.Array
-        ll: jax.Array
+        oh_lo: jax.Array
+        oh_hi: jax.Array
 
-    ml = _L(lin.v, lin.Ow, lin.Rt, lin.Hii, lin.Hij, lin.Hjj, ll)
+    ml = _L(
+        lin.v, lin.Ow, lin.Rt, lin.Hii, lin.Hij, lin.Hjj,
+        se.oh_lo, se.oh_hi,
+    )
 
     precond = None
     if precond_kind == "tridiag":
@@ -444,7 +553,9 @@ def soa_schur_step(
     Ainv = inv33(A)
     gl = lin.gl * lmf[:, None]
     y = jnp.einsum("lij,lj->li", Ainv, gl)
-    yb = jnp.transpose(_gather_l(ll_flat, y, L).reshape(K, R, 3), (2, 1, 0))
+    yb = jnp.transpose(
+        _gather_oh(se.oh_lo, se.oh_hi, y, L).reshape(K, R, 3), (2, 1, 0)
+    )
     # c = sum_r W y = Jp^T O' (Rt yb)
     c = _obs_apply_jpT(ml.v, _m33_vec(ml.Ow, _m33_vec(ml.Rt, yb)))
     gp_soa = jnp.transpose(lin.gp)
@@ -458,40 +569,60 @@ def soa_schur_step(
         def precond(r_soa):
             return _m66_vec(Minv, r_soa) * pf_soa
 
-    def matvec(p):
-        return _soa_matvec_inner(ml, Ainv, lam, pf_soa, p, prior)
+    if use_pallas and precond_kind == "jacobi" and prior is None:
+        # VMEM-resident CG: the whole inner loop in one Pallas kernel
+        # (solver/pallas_cg.py) — no HBM re-streaming per step
+        from semantic_slam_tpu.solver.pallas_cg import resident_cg
 
-    x = jnp.zeros_like(b)
-    r = b
-    z = precond(r)
-    p = z
-    rz = jnp.sum(r * z)
-    b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+        Mdiag_p = lin.diag + lam * eye6[None]
+        Mdiag_p = (
+            Mdiag_p * pf[:, None, None]
+            + eye6[None] * (1.0 - pf)[:, None, None]
+        )
+        Minv_p = jnp.transpose(lm_inv66(Mdiag_p), (1, 2, 0))  # [6,6,K]
+        dp_soa = resident_cg(
+            lin.v, lin.Ow, lin.Rt[:, :, 0, :], lin.Hii, lin.Hij, lin.Hjj,
+            Minv_p, se.k_lo_dig, se.k_hi_dig, jnp.transpose(Ainv, (1, 2, 0)),
+            b, pf, lam, cg_tol, n_steps=max_cg_iters,
+            interpret=pallas_interpret,
+        )
+    else:
+        def matvec(p):
+            return _soa_matvec_inner(ml, Ainv, lam, pf_soa, p, prior)
 
-    def cond(carry):
-        _, r, _, _, it = carry
-        return (jnp.sum(r * r) > cg_tol * b2) & (it < max_cg_iters)
-
-    def body(carry):
-        x, r, p, rz, it = carry
-        Ap = matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        x = jnp.zeros_like(b)
+        r = b
         z = precond(r)
-        rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return x, r, p, rz_new, it + 1
+        p = z
+        rz = jnp.sum(r * z)
+        b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
 
-    dp_soa, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32))
-    )
+        def cond(carry):
+            _, r, _, _, it = carry
+            return (jnp.sum(r * r) > cg_tol * b2) & (it < max_cg_iters)
+
+        def body(carry):
+            x, r, p, rz, it = carry
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return x, r, p, rz_new, it + 1
+
+        dp_soa, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32))
+        )
 
     dpk = dp_soa * pf_soa
     a = _obs_apply_jp(ml.v, dpk)
     wd = _m33T_vec(ml.Rt, _m33_vec(ml.Ow, a))  # W^T dp per slot
-    t = _seg_sum_l(ll_flat, jnp.transpose(wd, (2, 1, 0)).reshape(-1, 3), L)
+    t = _seg_sum_oh(
+        se.oh_lo, se.oh_hi, jnp.transpose(wd, (2, 1, 0)).reshape(-1, 3), L
+    )
     db = jnp.einsum("lij,lj->li", Ainv, (-gl - t)) * lmf[:, None]
     return jnp.transpose(dpk), db
 
@@ -504,12 +635,12 @@ def _soa_matvec_inner(ml, Ainv, lam, pf_soa, x, prior):
     a = _obs_apply_jp(ml.v, x)
     Oa = _m33_vec(ml.Ow, a)
     wx = _m33T_vec(ml.Rt, Oa)
-    t = _seg_sum_l(
-        ml.ll.reshape(-1), jnp.transpose(wx, (2, 1, 0)).reshape(-1, 3), L
+    t = _seg_sum_oh(
+        ml.oh_lo, ml.oh_hi, jnp.transpose(wx, (2, 1, 0)).reshape(-1, 3), L
     )
     z = jnp.einsum("lij,lj->li", Ainv, t)
     zb = jnp.transpose(
-        _gather_l(ml.ll.reshape(-1), z, L).reshape(K, R, 3), (2, 1, 0)
+        _gather_oh(ml.oh_lo, ml.oh_hi, z, L).reshape(K, R, 3), (2, 1, 0)
     )
     m = Oa - _m33_vec(ml.Ow, _m33_vec(ml.Rt, zb))
     u_obs = _obs_apply_jpT(ml.v, m)
@@ -544,10 +675,23 @@ def run_lm_loop_soa(
     prior=None,
     ell_rows: tuple = (1, 1, 8),
     cg_tol: float = 1e-8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
-    """run_lm_loop_pcg_ellk on the SoA layout (same Nielsen LM loop)."""
+    """run_lm_loop_pcg_ellk on the SoA layout — same Nielsen LM semantics,
+    but the while carry holds only (p, l, chi2, lam, nu): each body
+    linearizes at the carried ACCEPTED state and evaluates the trial point
+    with the chi2-only pass (``soa_chi2``, float-identical to the full
+    build's chi2), so no multi-MB block tree rides the carry and no
+    tree-wide accept/reject select runs per iteration. Measured: the tree
+    carry + select cost more than the (rare) relinearize-after-reject this
+    trades them for. The accept/reject sequence is bitwise-identical to
+    the carry-the-blocks scheme (pure-function relinearization at the same
+    state reproduces the same values)."""
     dtype = poses.dtype
-    se = build_soa_edges(edge_args, poses.shape[0], ell_rows[2])
+    se = build_soa_edges(
+        edge_args, poses.shape[0], ell_rows[2], landmarks.shape[0]
+    )
 
     def build(p, l):
         lin = soa_linearize(
@@ -560,6 +704,14 @@ def run_lm_loop_soa(
             lin = apply_prior_blocks(lin, prior, p, l)
         return lin
 
+    def chi2_at(p, l):
+        return soa_chi2(
+            p, l, se, robust_kind=robust_kind, robust_delta=robust_delta,
+            prior=prior,
+        )
+
+    # initial build: XLA dead-code-eliminates everything but chi2 and the
+    # diagonals the lambda seed needs
     lin0 = build(poses, landmarks)
     chi2_0 = lin0.chi2
     diag_max = jnp.maximum(
@@ -576,20 +728,21 @@ def run_lm_loop_soa(
         return (it < max_iterations) & jnp.logical_not(done)
 
     def body(carry):
-        p, l, lin, lam, nu, it, done = carry
+        p, l, chi2_cur, lam, nu, it, done = carry
+        lin = build(p, l)
         dp, dl = soa_schur_step(
-            lin, se.ll, lam, pose_free, lm_free, max_cg_iters,
+            lin, se, lam, pose_free, lm_free, max_cg_iters,
             precond_kind=precond_kind, prior=prior, cg_tol=cg_tol,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         p_new = jax.vmap(geo.pose_retract)(p, dp.astype(p.dtype))
         l_new = l + dl.astype(l.dtype)
-        lin_new = build(p_new, l_new)
-        chi2_new = lin_new.chi2
+        chi2_new = chi2_at(p_new, l_new)
 
         delta = jnp.concatenate([dp.reshape(-1), dl.reshape(-1)])
         gvec = jnp.concatenate([lin.gp.reshape(-1), lin.gl.reshape(-1)])
         pred = lam * jnp.dot(delta, delta) - jnp.dot(delta, gvec)
-        rho = (lin.chi2 - chi2_new) / jnp.maximum(pred, 1e-12)
+        rho = (chi2_cur - chi2_new) / jnp.maximum(pred, 1e-12)
         finite = jnp.isfinite(chi2_new) & jnp.all(jnp.isfinite(delta))
         accept = (rho > 0) & finite
 
@@ -599,18 +752,20 @@ def run_lm_loop_soa(
         lam = jnp.where(accept, lam_acc, lam * nu)
         nu = jnp.where(accept, 2.0, nu * 2.0)
         converged = accept & (
-            (lin.chi2 - chi2_new) <= rel_tol * jnp.maximum(lin.chi2, 1e-12)
+            (chi2_cur - chi2_new) <= rel_tol * jnp.maximum(chi2_cur, 1e-12)
         )
         done = converged | (lam > 1e12)
-        lin = jax.tree.map(lambda a, b: jnp.where(accept, a, b), lin_new, lin)
-        return p, l, lin, lam, nu, it + 1, done
+        chi2_cur = jnp.where(accept, chi2_new, chi2_cur)
+        return p, l, chi2_cur, lam, nu, it + 1, done
 
     init = (
-        poses, landmarks, lin0, lam0, jnp.asarray(2.0, dtype),
+        poses, landmarks, chi2_0, lam0, jnp.asarray(2.0, dtype),
         jnp.zeros((), jnp.int32), jnp.zeros((), bool),
     )
-    p, l, lin_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
-    return p, l, LMStats(it, chi2_0, lin_f.chi2, lam), lin_f, se
+    p, l, chi2_f, lam, _, it, _ = jax.lax.while_loop(cond, body, init)
+    # final-state linearization for marginal recovery (once per solve)
+    lin_f = build(p, l)
+    return p, l, LMStats(it, chi2_0, chi2_f, lam), lin_f, se
 
 
 def soa_to_ell_blocks(lin: SoALin, se: SoAEdges) -> EllBlocks:
@@ -645,7 +800,8 @@ def soa_to_ell_blocks(lin: SoALin, se: SoAEdges) -> EllBlocks:
     static_argnames=(
         "max_iterations", "min_edges", "rel_tol", "max_cg_iters",
         "robust_kind", "robust_delta", "precond_kind",
-        "with_marginals", "ell_rows", "cg_tol",
+        "with_marginals", "ell_rows", "cg_tol", "use_pallas",
+        "pallas_interpret",
     ),
 )
 def lm_optimize_soa(
@@ -662,8 +818,26 @@ def lm_optimize_soa(
     with_marginals: bool = False,
     ell_rows: tuple = (1, 1, 8),
     cg_tol: float = 1e-8,
+    use_pallas: bool | str = "auto",
+    pallas_interpret: bool = False,
 ):
-    """Drop-in for pcg.lm_optimize_pcg(assembly='ell') on the SoA layout."""
+    """Drop-in for pcg.lm_optimize_pcg(assembly='ell') on the SoA layout.
+
+    ``use_pallas='auto'`` engages the VMEM-resident CG kernel on TPU when
+    the static shapes fit the budget and the configuration is in kernel
+    scope (jacobi preconditioner, no prior) — pallas_cg.fits()."""
+    if use_pallas == "auto":
+        from semantic_slam_tpu.solver.pallas_cg import digit_split, fits
+
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        lo_d, hi_d = digit_split(L)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and precond_kind == "jacobi"
+            and prior is None
+            and fits(K, ell_rows[2], L, lo_d, hi_d)
+        )
     pose_free, lm_free = _free_masks(g)
     poses, landmarks, stats, lin_f, se = run_lm_loop_soa(
         g.poses, g.landmarks, _edge_args(g), pose_free, lm_free,
@@ -671,6 +845,7 @@ def lm_optimize_soa(
         robust_kind=robust_kind, robust_delta=robust_delta,
         init_lambda=init_lambda, precond_kind=precond_kind, prior=prior,
         ell_rows=ell_rows, cg_tol=cg_tol,
+        use_pallas=bool(use_pallas), pallas_interpret=pallas_interpret,
     )
     run = g.num_edges() >= min_edges
     g = g._replace(

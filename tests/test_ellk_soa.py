@@ -26,7 +26,7 @@ class TestSoAParity:
         K = g.poses.shape[0]
         ee = pcg_mod.build_ell_edges(pcg_mod._edge_args(g), K, ell_rows[2])
         eb = pcg_mod.ell_linearize(g.poses, g.landmarks, ee)
-        se = soa_mod.soa_from_ell_edges(ee)
+        se = soa_mod.soa_from_ell_edges(ee, g.landmarks.shape[0])
         lin = soa_mod.soa_linearize(g.poses, g.landmarks, se)
         np.testing.assert_allclose(np.asarray(lin.gp), np.asarray(eb.gp), atol=1e-9)
         np.testing.assert_allclose(np.asarray(lin.gl), np.asarray(eb.gl), atol=1e-9)
@@ -114,6 +114,56 @@ class TestSoAParity:
             np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-8
         )
         np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), atol=1e-8)
+
+    def test_engine_soa_dispatch_matches_pcg(self, monkeypatch):
+        """SLAM_SOLVER_IMPL=soa routes the engine's single-chip pcg ticks
+        through lm_optimize_soa (the TPU default); a full replay must match
+        the portable pcg engine path. Maha gating exercises the marginal
+        recovery through soa_to_ell_blocks."""
+        import dataclasses
+
+        import jax
+
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+        from tests.test_scenarios import scenario_config
+
+        log = synth_mod.make_synthetic_log(
+            seed=12, n_steps=80, sensor_every=3, drift_noise=0.006,
+            scene="lab",
+        )
+        cfg = scenario_config()
+        cfg = cfg.replace(
+            association=dataclasses.replace(
+                cfg.association, use_maha_dist=True, use_eq_dist=False,
+                maha_dist_thres=2.0,
+            ),
+            solver=dataclasses.replace(
+                cfg.solver, linear_solver="pcg", dtype="float32"
+            ),
+        )
+
+        def run(impl):
+            monkeypatch.setenv("SLAM_SOLVER_IMPL", impl)
+            # the impl knob is read at trace time; force fresh traces
+            jax.clear_caches()
+            eng = SlamEngine(cfg)
+            replay_mod.replay(log, eng)
+            return eng
+
+        e_pcg = run("pcg")
+        e_soa = run("soa")
+        monkeypatch.delenv("SLAM_SOLVER_IMPL")
+        jax.clear_caches()
+        assert len(e_soa.keyframes) == len(e_pcg.keyframes) > 5
+        assert int(e_soa.table.count) == int(e_pcg.table.count)
+        n = e_pcg._n_poses
+        np.testing.assert_allclose(
+            np.asarray(e_soa.graph.poses[:n]),
+            np.asarray(e_pcg.graph.poses[:n]),
+            atol=1e-5,
+        )
 
     def test_min_edges_gate(self, rng):
         from semantic_slam_tpu.graph import state as gs

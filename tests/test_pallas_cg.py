@@ -1,0 +1,101 @@
+"""VMEM-resident Pallas CG kernel (solver/pallas_cg.py): parity with the
+XLA SoA CG loop it replaces, via interpret mode on the CPU test platform."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_slam_tpu.solver import ellk_soa as soa_mod
+from semantic_slam_tpu.solver import pcg as pcg_mod
+from tests.test_pcg import _sort_obs_edges
+from tests.test_solver import build_chain_graph
+
+
+@pytest.fixture()
+def graph(rng):
+    g, _, _ = build_chain_graph(rng, noise=0.05)
+    g = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, g
+    )
+    return _sort_obs_edges(g)
+
+
+import jax  # noqa: E402
+
+
+class TestResidentCG:
+    def test_step_matches_xla_loop(self, graph):
+        """One damped Schur solve: the resident kernel's dp equals the XLA
+        while-loop CG's dp (same math, fixed step count)."""
+        g, ell_rows = graph
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        se = soa_mod.build_soa_edges(
+            pcg_mod._edge_args(g), K, ell_rows[2], L
+        )
+        lin = soa_mod.soa_linearize(g.poses, g.landmarks, se)
+        from semantic_slam_tpu.solver.lm import _free_masks
+
+        pf, lf = _free_masks(g)
+        lam = jnp.asarray(1e-3, jnp.float32)
+        dp_x, db_x = soa_mod.soa_schur_step(
+            lin, se, lam, pf, lf, 64, cg_tol=0.0, use_pallas=False
+        )
+        dp_p, db_p = soa_mod.soa_schur_step(
+            lin, se, lam, pf, lf, 64, cg_tol=0.0,
+            use_pallas=True, pallas_interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dp_p), np.asarray(dp_x), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(db_p), np.asarray(db_x), rtol=1e-4, atol=1e-6
+        )
+
+    def test_full_lm_matches_xla_loop(self, graph):
+        g, ell_rows = graph
+        ga, sa = soa_mod.lm_optimize_soa(
+            g, max_iterations=10, ell_rows=ell_rows, max_cg_iters=64,
+            use_pallas=False,
+        )
+        gb, sb = soa_mod.lm_optimize_soa(
+            g, max_iterations=10, ell_rows=ell_rows, max_cg_iters=64,
+            use_pallas=True, pallas_interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            float(sb.chi2_final), float(sa.chi2_final), rtol=1e-4
+        )
+
+    def test_tolerance_masking_matches_early_exit(self, graph):
+        """With a loose cg_tol the masked kernel must reproduce the
+        while-loop's early-exit solution (updates freeze once converged)."""
+        g, ell_rows = graph
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        se = soa_mod.build_soa_edges(pcg_mod._edge_args(g), K, ell_rows[2], L)
+        lin = soa_mod.soa_linearize(g.poses, g.landmarks, se)
+        from semantic_slam_tpu.solver.lm import _free_masks
+
+        pf, lf = _free_masks(g)
+        lam = jnp.asarray(1e-3, jnp.float32)
+        dp_x, _ = soa_mod.soa_schur_step(
+            lin, se, lam, pf, lf, 128, cg_tol=1e-6, use_pallas=False
+        )
+        dp_p, _ = soa_mod.soa_schur_step(
+            lin, se, lam, pf, lf, 128, cg_tol=1e-6,
+            use_pallas=True, pallas_interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dp_p), np.asarray(dp_x), rtol=1e-4, atol=1e-6
+        )
+
+    def test_fits_predicate(self):
+        from semantic_slam_tpu.solver.pallas_cg import fits
+
+        assert not fits(512, 5, 128, 16, 16)  # Mosaic envelope: K >= 1024
+        assert fits(2048, 4, 512, 32, 16)
+        assert fits(4096, 4, 1024, 32, 32)
+        assert not fits(65536, 8, 4096, 64, 64)
