@@ -191,6 +191,7 @@ def solver_device_times(tracer: Tracer):
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_graph, _ell_rows_for
+    from semantic_slam_tpu.solver import ellk_soa as soa_mod
     from semantic_slam_tpu.solver import pcg as pcg_mod
 
     ITERS = 8
@@ -205,8 +206,10 @@ def solver_device_times(tracer: Tracer):
         ]
         ell_rows = _ell_rows_for(K, E2)
 
+        # headline since r4: SoA layout + VMEM-resident Pallas CG
+        # (solver/ellk_soa.py; the kernel engages at K >= 1024)
         def solve(g):
-            out, stats = pcg_mod.lm_optimize_pcg(
+            out, stats = soa_mod.lm_optimize_soa(
                 g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
                 ell_rows=ell_rows, cg_tol=0.0,
             )
@@ -216,7 +219,7 @@ def solver_device_times(tracer: Tracer):
         t0 = time.perf_counter()
         mods = tracer.trace(lambda: solve(graphs[1]))
         wall_ms = (time.perf_counter() - t0) * 1e3
-        durs = mods.get("jit_lm_optimize_pcg", [])
+        durs = mods.get("jit_lm_optimize_soa", [])
         dev_ms = sum(durs)  # one traced execution
         results[f"K{K}"] = {
             "K": K, "edges": K - 1 + E2,
@@ -232,29 +235,28 @@ def solver_device_times(tracer: Tracer):
             results[f"K{K}"]["top_ops_ms"] = {k: round(v, 3) for k, v in top}
         except Exception:
             pass
-        # A/B: the one-hot matmul assembly the ELL layout replaced
-        # (solver/assembly.py) — same graph family, fresh seed
+        # A/B: the r3 per-pose ELL path the SoA solver replaced
         try:
-            def solve_oh(g):
+            def solve_ell(g):
                 out, _ = pcg_mod.lm_optimize_pcg(
                     g, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
-                    cg_tol=0.0,
+                    ell_rows=ell_rows, cg_tol=0.0,
                 )
                 return float(out.poses[0, 0])
 
-            solve_oh(graphs[0])
-            mods_oh = tracer.trace(lambda: solve_oh(graphs[2]))
-            oh_ms = sum(mods_oh.get("jit_lm_optimize_pcg", []))
-            results[f"K{K}"]["onehot_device_ms_per_iter"] = round(
-                oh_ms / ITERS, 4
+            solve_ell(graphs[0])
+            mods_ell = tracer.trace(lambda: solve_ell(graphs[2]))
+            ell_ms = sum(mods_ell.get("jit_lm_optimize_pcg", []))
+            results[f"K{K}"]["r3_ell_device_ms_per_iter"] = round(
+                ell_ms / ITERS, 4
             )
         except Exception as e:  # pragma: no cover
-            print(f"[device] one-hot A/B skipped: {e}", file=sys.stderr)
+            print(f"[device] ELL A/B skipped: {e}", file=sys.stderr)
         # roofline: XLA's own flop/byte accounting over the traced program
         # vs the chip's peak — names the wall (MXU vs HBM) at each K
         try:
             flops, bytes_acc = cost_numbers(
-                pcg_mod.lm_optimize_pcg, graphs[1],
+                soa_mod.lm_optimize_soa, graphs[1],
                 max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
                 ell_rows=ell_rows, cg_tol=0.0,
             )

@@ -71,12 +71,16 @@ class KeyframeMeta:
     depth_scale: float = 1e-3
 
 
-def _soa_dispatch(linear_solver: str, mesh, ell_rows) -> bool:
+def _soa_dispatch(linear_solver: str, mesh, ell_rows, K: int) -> bool:
     """Static (trace-time) choice of the single-chip PCG implementation:
     the SoA + VMEM-resident-Pallas-CG solver (solver/ellk_soa.py — the
     r4 fast path, ~2.3-2.5x the r3 per-pose layout at K>=2048) on TPU,
-    the portable pcg module elsewhere. SLAM_SOLVER_IMPL=soa|pcg forces
-    either (read per trace, like SLAM_ASSEMBLY a process-level knob)."""
+    the portable pcg module elsewhere. Gated to the sizes where the
+    measurement says it WINS (K >= 1024, where the resident Pallas kernel
+    engages; at K=512 the XLA SoA path measured ~11% BEHIND the proven
+    per-pose ELL path, so small sessions keep it). SLAM_SOLVER_IMPL=
+    soa|pcg forces either (read per trace — a process-level knob, like
+    SLAM_ASSEMBLY)."""
     import os
 
     forced = os.environ.get("SLAM_SOLVER_IMPL", "auto")
@@ -86,7 +90,7 @@ def _soa_dispatch(linear_solver: str, mesh, ell_rows) -> bool:
         return False
     if forced == "soa":
         return True
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and K >= 1024
 
 
 @jax.jit
@@ -510,7 +514,7 @@ def _optimize_tick_impl(
             )
             (g2, stats), marg2 = out[:2], (out[2] if need_marginals else None)
         elif linear_solver == "pcg":
-            if _soa_dispatch(linear_solver, mesh, ell_rows):
+            if _soa_dispatch(linear_solver, mesh, ell_rows, g.poses.shape[0]):
                 from semantic_slam_tpu.solver import ellk_soa as soa_mod
 
                 out = soa_mod.lm_optimize_soa(
