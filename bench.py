@@ -162,8 +162,12 @@ def tpu_ms_per_iter():
             seed=(seed_base + 7919) % 2_000_000_011,
         )
 
+        # the device lane traces the path the PRODUCT uses at this size:
+        # below K=1024 the engine dispatch keeps the per-pose ELL path
+        # (the Pallas kernels engage from K>=1024 — see
+        # engine._soa_dispatch / pallas_cg.fits)
         def traced():
-            out, _ = soa_mod.lm_optimize_soa(
+            out, _ = pcg_mod.lm_optimize_pcg(
                 g_t, max_iterations=ITERS, rel_tol=0.0, max_cg_iters=32,
                 ell_rows=ell_rows, cg_tol=0.0,
             )
@@ -171,11 +175,11 @@ def tpu_ms_per_iter():
 
         tracer = Tracer("/tmp/bench_trace")
         mods = tracer.trace(traced)
-        durs = mods.get("jit_lm_optimize_soa", [])
+        durs = mods.get("jit_lm_optimize_pcg", [])
         if durs:
             device = sum(durs) / ITERS
             print(
-                f"[bench] soa_pallas device lane: {device:.3f} ms/iter",
+                f"[bench] pcg32_ell device lane: {device:.3f} ms/iter",
                 file=sys.stderr,
             )
     except Exception as e:  # pragma: no cover - profiler flake

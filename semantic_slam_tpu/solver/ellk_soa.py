@@ -283,6 +283,8 @@ def soa_linearize(
     se: SoAEdges,
     robust_kind: str = "none",
     robust_delta: float = 1.0,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> SoALin:
     """pcg.ell_linearize re-expressed channelwise (see module docstring).
 
@@ -304,6 +306,34 @@ def soa_linearize(
     g_i = jnp.einsum("kia,ka->ki", JiT_O, r_o)
     g_j = jnp.einsum("kia,ka->ki", JjT_O, r_o)
     chi_o = jnp.einsum("ka,kab,kb->", r_o, se.o_info, r_o)
+
+    if use_pallas:
+        # observation part in ONE Pallas kernel (pallas_cg.
+        # resident_obs_linearize): after the CG loop went VMEM-resident,
+        # the XLA obs linearize was the per-iteration dominator — its
+        # D=9 landmark seg-sums fuse pathologically inside the LM while
+        from semantic_slam_tpu.solver.pallas_cg import resident_obs_linearize
+
+        (v, Ow, Rt3, gp_obs, diag_obs, gl, Hll, chi_l) = (
+            resident_obs_linearize(
+                poses, landmarks, se.meas, se.info, se.k_lo_dig,
+                se.k_hi_dig, robust_kind=robust_kind,
+                robust_delta=robust_delta, interpret=pallas_interpret,
+            )
+        )
+        return SoALin(
+            v=v,
+            Ow=Ow,
+            Rt=Rt3[:, :, None, :],
+            Hii=jnp.transpose(H_ii, (1, 2, 0)),
+            Hij=jnp.transpose(H_ij, (1, 2, 0)),
+            Hjj=jnp.transpose(H_jj, (1, 2, 0)),
+            Hll=Hll,
+            gp=g_i + _shift_down_aos(g_j) + gp_obs,
+            gl=gl,
+            diag=H_ii + _shift_down_aos(H_jj) + diag_obs,
+            chi2=chi_o + chi_l,
+        )
 
     # ---- observation edges: channel arrays [.., R, K]
     t_ch = jnp.transpose(poses[:, :3])[:, None, :]  # [3, 1, K]
@@ -695,7 +725,8 @@ def run_lm_loop_soa(
 
     def build(p, l):
         lin = soa_linearize(
-            p, l, se, robust_kind=robust_kind, robust_delta=robust_delta
+            p, l, se, robust_kind=robust_kind, robust_delta=robust_delta,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         if prior is not None:
             # apply_prior_blocks touches only Hll/gp/gl/diag/chi2 via

@@ -319,3 +319,318 @@ def resident_cg(
         jnp.asarray(lam, f32).reshape(1, 1),
         jnp.asarray(cg_tol, f32).reshape(1, 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation-edge linearization kernel (the r4 follow-up to resident CG:
+# after the CG loop went resident, the XLA linearize was the per-iteration
+# dominator — its landmark-side D=9 seg-sums fuse pathologically inside the
+# LM while loop). Same layout rules as the CG kernel; produces v/Ow/Rt in
+# exactly the layouts resident_cg consumes.
+# ---------------------------------------------------------------------------
+
+
+def _m33_mul_k(A, B):
+    return jnp.stack(
+        [
+            jnp.stack(
+                [sum(A[i, k] * B[k, j] for k in range(3)) for j in range(3)],
+                axis=0,
+            )
+            for i in range(3)
+        ],
+        axis=0,
+    )
+
+
+def _m33T_mul_k(A, B):
+    return jnp.stack(
+        [
+            jnp.stack(
+                [sum(A[k, i] * B[k, j] for k in range(3)) for j in range(3)],
+                axis=0,
+            )
+            for i in range(3)
+        ],
+        axis=0,
+    )
+
+
+def _rotmat_conj_k(q):
+    """Rt = R(q)^T channels from q [4, K] -> [3, 3, K]."""
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    r00 = 1 - 2 * (yy + zz)
+    r01 = 2 * (xy - wz)
+    r02 = 2 * (xz + wy)
+    r10 = 2 * (xy + wz)
+    r11 = 1 - 2 * (xx + zz)
+    r12 = 2 * (yz - wx)
+    r20 = 2 * (xz - wy)
+    r21 = 2 * (yz + wx)
+    r22 = 1 - 2 * (xx + yy)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r10, r20], axis=0),
+            jnp.stack([r01, r11, r21], axis=0),
+            jnp.stack([r02, r12, r22], axis=0),
+        ],
+        axis=0,
+    )
+
+
+def _ob_product_k(O, v):
+    """O @ hat(v) (channel arrays)."""
+    c0 = jnp.stack([O[i][1] * v[2] - O[i][2] * v[1] for i in range(3)], 0)
+    c1 = jnp.stack([-O[i][0] * v[2] + O[i][2] * v[0] for i in range(3)], 0)
+    c2 = jnp.stack([O[i][0] * v[1] - O[i][1] * v[0] for i in range(3)], 0)
+    return jnp.stack([c0, c1, c2], axis=1)
+
+
+def _hat_mul_k(v, M):
+    """hat(v) @ M (channel arrays)."""
+    r0 = jnp.stack([-v[2] * M[1][j] + v[1] * M[2][j] for j in range(3)], 0)
+    r1 = jnp.stack([v[2] * M[0][j] - v[0] * M[2][j] for j in range(3)], 0)
+    r2 = jnp.stack([-v[1] * M[0][j] + v[0] * M[1][j] for j in range(3)], 0)
+    return jnp.stack([r0, r1, r2], axis=0)
+
+
+def _obs_lin_kernel(
+    t_ref,      # [3, K]
+    q_ref,      # [4, K]
+    lm_ref,     # [Lpad, 3] landmark table, padded to hi*lo_w rows
+    meas_ref,   # [3, E] r-major
+    info_ref,   # [3, 3, E]
+    lodig_ref,  # [1, E] i32
+    hidig_ref,  # [1, E] i32
+    v_out,      # [3, E]
+    Ow_out,     # [3, 3, E]
+    Rt_out,     # [3, 3, K]
+    gp_out,     # [6, K]
+    diag_out,   # [6, 6, K]
+    gl_out,     # [hi*lo_w, 3]
+    Hll_out,    # [hi*lo_w, 9] (row-major 3x3)
+    chi_out,    # [1, 1] SMEM
+    *,
+    R: int,
+    lo_w: int,
+    hi: int,
+    robust_kind: str,
+    robust_delta: float,
+):
+    K = t_ref.shape[1]
+    f32 = jnp.float32
+    t = t_ref[:]
+    q = q_ref[:]
+    lodig = lodig_ref[:]
+    hidig = hidig_ref[:]
+
+    Rt = _rotmat_conj_k(q)  # [3, 3, K]
+    Rt_out[:] = Rt
+
+    # landmark table in digit-grid form for the per-block gathers
+    lm3 = lm_ref[:].reshape(hi, lo_w, 3)
+    TzT = [jnp.transpose(lm3[:, :, d]) for d in range(3)]  # [lo_w, hi]
+
+    def oh_blocks(sl):
+        lo_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (lo_w, K), 0)
+            == lodig[:, sl]
+        ).astype(f32)
+        hi_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (hi, K), 0)
+            == hidig[:, sl]
+        ).astype(f32)
+        return lo_oh, hi_oh
+
+    gp_top = jnp.zeros((3, K), f32)
+    gp_bot = jnp.zeros((3, K), f32)
+    TL = jnp.zeros((3, 3, K), f32)   # diag quadrants (see _assemble below)
+    TR = jnp.zeros((3, 3, K), f32)
+    BR = jnp.zeros((3, 3, K), f32)
+    Tgl = [jnp.zeros((lo_w, hi), f32) for _ in range(3)]
+    THll = [jnp.zeros((lo_w, hi), f32) for _ in range(9)]
+    chi_acc = jnp.zeros((), f32)
+
+    for r in range(R):
+        sl = slice(r * K, (r + 1) * K)
+        lo_oh, hi_oh = oh_blocks(sl)
+        # gather this block's landmark world positions
+        lw_rows = []
+        for d in range(3):
+            wT = jax.lax.dot_general(
+                TzT[d], hi_oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [lo_w, K]
+            lw_rows.append(jnp.sum(lo_oh * wT, axis=0, keepdims=True))
+        lw = jnp.concatenate(lw_rows, axis=0)  # [3, K]
+
+        d_v = lw - t
+        v_r = jnp.stack(
+            [sum(Rt[i, k2] * d_v[k2] for k2 in range(3)) for i in range(3)],
+            axis=0,
+        )  # Rt @ (lw - t)
+        meas_r = meas_ref[:, sl]
+        r_r = v_r - meas_r
+        O_r = info_ref[:, :, sl]
+        Or = jnp.stack(
+            [sum(O_r[i, k2] * r_r[k2] for k2 in range(3)) for i in range(3)],
+            axis=0,
+        )
+        chi_e = sum(r_r[i] * Or[i] for i in range(3))  # [1?, K] -> [K]-row
+
+        # robust rho + weight (solver/robust.py formulas, channelwise)
+        if robust_kind == "none":
+            rho = chi_e
+            w = None
+        elif robust_kind == "huber":
+            d2 = robust_delta * robust_delta
+            e = jnp.sqrt(jnp.maximum(chi_e, 1e-30))
+            rho = jnp.where(chi_e <= d2, chi_e, 2.0 * robust_delta * e - d2)
+            w = jnp.minimum(1.0, robust_delta / e)
+        elif robust_kind == "dcs":
+            phi = robust_delta * robust_delta
+            rho = 2.0 * phi * chi_e / (phi + jnp.maximum(chi_e, 1e-30))
+            s_ = 2.0 * phi / (phi + jnp.maximum(chi_e, 0.0))
+            w = jnp.minimum(1.0, s_ * s_)
+        else:
+            raise ValueError(robust_kind)
+        chi_acc = chi_acc + jnp.sum(rho)
+        if w is None:
+            Ow_r = O_r
+            Orw = Or
+        else:
+            Ow_r = O_r * w[None, None]
+            Orw = Or * w[None]
+
+        v_out[:, sl] = v_r
+        Ow_out[:, :, sl] = Ow_r
+
+        # gradients
+        gp_top = gp_top - Orw
+        gp_bot = gp_bot - _cross(v_r, Orw)
+        gl_e = jnp.stack(
+            [sum(Rt[k2, i] * Orw[k2] for k2 in range(3)) for i in range(3)],
+            axis=0,
+        )  # Rt^T (O'r)
+
+        # landmark blocks Hll_e = Rt^T (O' Rt)
+        ORt = _m33_mul_k(Ow_r, Rt)
+        Hll_e = _m33T_mul_k(Rt, ORt)
+
+        # seg-sum the gl / Hll channels into digit-grid accumulators
+        for d in range(3):
+            Tgl[d] = Tgl[d] + jax.lax.dot_general(
+                lo_oh * gl_e[d:d + 1].reshape(1, K), hi_oh,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        for i in range(3):
+            for j in range(3):
+                c = 3 * i + j
+                THll[c] = THll[c] + jax.lax.dot_general(
+                    lo_oh * Hll_e[i, j].reshape(1, K), hi_oh,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+
+        # pose diagonal quadrants: [[O', -O'B],[(-O'B)^T, -hat(v) O'B]]
+        OB = _ob_product_k(Ow_r, v_r)
+        TL = TL + Ow_r
+        TR = TR - OB
+        BR = BR - _hat_mul_k(v_r, OB)
+
+    gp_out[:] = jnp.concatenate([gp_top, gp_bot], axis=0)
+    TRt = jnp.stack(
+        [jnp.stack([TR[j, i] for j in range(3)], axis=0) for i in range(3)],
+        axis=0,
+    )
+    diag_out[:] = jnp.concatenate(
+        [
+            jnp.concatenate([TL, TR], axis=1),
+            jnp.concatenate([TRt, BR], axis=1),
+        ],
+        axis=0,
+    )
+    gl_out[:] = jnp.stack(
+        [jnp.transpose(Tgl[d]) for d in range(3)], axis=-1
+    ).reshape(hi * lo_w, 3)
+    Hll_out[:] = jnp.stack(
+        [jnp.transpose(THll[c]) for c in range(9)], axis=-1
+    ).reshape(hi * lo_w, 9)
+    chi_out[0, 0] = chi_acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("robust_kind", "robust_delta", "interpret")
+)
+def resident_obs_linearize(
+    poses,      # [K, 7]
+    landmarks,  # [L, 3]
+    meas,       # [3, R, K] SoA channels
+    info,       # [3, 3, R, K]
+    lo_dig,     # [1, E] i32 (r-major)
+    hi_dig,     # [1, E] i32
+    robust_kind: str = "none",
+    robust_delta: float = 1.0,
+    interpret: bool = False,
+):
+    """Observation-edge linearization in one kernel. Returns
+    (v [3,R,K], Ow [3,3,R,K], Rt [3,3,K], gp_obs [K,6], diag_obs [K,6,6],
+    gl [L,3], Hll [L,3,3], chi_l scalar) — v/Ow/Rt in exactly the layouts
+    ``resident_cg`` consumes."""
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    R = meas.shape[1]
+    E = K * R
+    f32 = jnp.float32
+    lo_w, hi = digit_split(L)
+    pad = hi * lo_w - L
+    lm_tab = landmarks.astype(f32)
+    if pad:
+        lm_tab = jnp.concatenate([lm_tab, jnp.zeros((pad, 3), f32)], axis=0)
+
+    kern = functools.partial(
+        _obs_lin_kernel, R=R, lo_w=lo_w, hi=hi,
+        robust_kind=robust_kind, robust_delta=robust_delta,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, E), f32),          # v
+        jax.ShapeDtypeStruct((3, 3, E), f32),       # Ow
+        jax.ShapeDtypeStruct((3, 3, K), f32),       # Rt
+        jax.ShapeDtypeStruct((6, K), f32),          # gp_obs
+        jax.ShapeDtypeStruct((6, 6, K), f32),       # diag_obs
+        jax.ShapeDtypeStruct((hi * lo_w, 3), f32),  # gl table
+        jax.ShapeDtypeStruct((hi * lo_w, 9), f32),  # Hll table
+        jax.ShapeDtypeStruct((1, 1), f32),          # chi_l
+    )
+    v_e, Ow_e, Rt, gp_obs, diag_obs, gl_tab, Hll_tab, chi = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=tuple(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        ),
+        interpret=interpret,
+    )(
+        jnp.transpose(poses[:, :3]).astype(f32),
+        jnp.transpose(poses[:, 3:7]).astype(f32),
+        lm_tab,
+        meas.astype(f32).reshape(3, E),
+        info.astype(f32).reshape(3, 3, E),
+        lo_dig.astype(jnp.int32).reshape(1, E),
+        hi_dig.astype(jnp.int32).reshape(1, E),
+    )
+    return (
+        v_e.reshape(3, R, K),
+        Ow_e.reshape(3, 3, R, K),
+        Rt,
+        jnp.transpose(gp_obs),
+        jnp.transpose(diag_obs, (2, 0, 1)),
+        gl_tab[:L],
+        Hll_tab[:L].reshape(L, 3, 3),
+        chi[0, 0],
+    )

@@ -92,6 +92,55 @@ class TestResidentCG:
             np.asarray(dp_p), np.asarray(dp_x), rtol=1e-4, atol=1e-6
         )
 
+    def test_obs_linearize_matches_xla(self, graph):
+        """resident_obs_linearize: every output (v/Ow/Rt/gp/diag/gl/Hll/
+        chi2) matches the XLA soa_linearize up to float summation order,
+        across robust kernels."""
+        g, ell_rows = graph
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        se = soa_mod.build_soa_edges(pcg_mod._edge_args(g), K, ell_rows[2], L)
+        for kind in ("none", "huber", "dcs"):
+            lin_x = soa_mod.soa_linearize(
+                g.poses, g.landmarks, se, robust_kind=kind, robust_delta=1.0
+            )
+            lin_p = soa_mod.soa_linearize(
+                g.poses, g.landmarks, se, robust_kind=kind, robust_delta=1.0,
+                use_pallas=True, pallas_interpret=True,
+            )
+            for name in ("v", "Ow", "gp", "gl", "diag", "Hll"):
+                # atol covers float-order noise on ~1e2-magnitude blocks
+                np.testing.assert_allclose(
+                    np.asarray(getattr(lin_p, name)),
+                    np.asarray(getattr(lin_x, name)),
+                    rtol=1e-4, atol=1e-5, err_msg=f"{kind}:{name}",
+                )
+            np.testing.assert_allclose(
+                np.asarray(lin_p.Rt), np.asarray(lin_x.Rt), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                float(lin_p.chi2), float(lin_x.chi2), rtol=1e-5
+            )
+
+    def test_full_lm_pallas_linearize_matches(self, graph):
+        """Full LM with BOTH kernels (linearize + resident CG) in interpret
+        mode lands at the XLA solution."""
+        g, ell_rows = graph
+        ga, sa = soa_mod.lm_optimize_soa(
+            g, max_iterations=10, ell_rows=ell_rows, max_cg_iters=64,
+            use_pallas=False,
+        )
+        gb, sb = soa_mod.lm_optimize_soa(
+            g, max_iterations=10, ell_rows=ell_rows, max_cg_iters=64,
+            use_pallas=True, pallas_interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            float(sb.chi2_final), float(sa.chi2_final), rtol=1e-4
+        )
+
     def test_fits_predicate(self):
         from semantic_slam_tpu.solver.pallas_cg import fits
 
