@@ -74,7 +74,7 @@ class KeyframeMeta:
 def _soa_dispatch(linear_solver: str, mesh, ell_rows, K: int) -> bool:
     """Static (trace-time) choice of the single-chip PCG implementation:
     the SoA + VMEM-resident-Pallas-CG solver (solver/ellk_soa.py — the
-    r4 fast path, ~2.3-2.5x the r3 per-pose layout at K>=2048) on TPU,
+    r4 fast path, ~3.7-4.3x the r3 per-pose layout at K>=2048) on TPU,
     the portable pcg module elsewhere. Gated to the sizes where the
     measurement says it WINS (K >= 1024, where the resident Pallas kernel
     engages; at K=512 the XLA SoA path measured ~11% BEHIND the proven
