@@ -44,22 +44,32 @@ VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # headroom below the ~16 MB/core
 
 def digit_split(L: int) -> tuple[int, int]:
     """(lo_w, hi) digit split for the kernel's two-level one-hot factors.
-    Both digits floored at 16: Mosaic miscompiles the [lo_w, hi]-tile ops
-    below that (observed: hi=8/9 crash the compile helper; 16 works)."""
-    lo_w = 1
-    while lo_w * lo_w < L:
+
+    Picks the power-of-two lo_w minimizing the kernel's per-block VMEM
+    temps (lo_oh + wT are [lo_w, K], hi_oh is [hi, K] -> cost 2*lo_w +
+    ceil(L/lo_w); compare/dot work is ~K*L either way) — this is what
+    stretches the envelope to K=8192/L=2048. Both digits floored at 16:
+    Mosaic miscompiles the [lo_w, hi]-tile ops below that (observed:
+    hi=8/9 crash the compile helper; 16 works)."""
+    best = None
+    lo_w = 16
+    while lo_w <= max(16, L):
+        hi = max(16, -(-L // lo_w))
+        cost = 2 * lo_w + hi
+        if best is None or cost < best[0]:
+            best = (cost, lo_w, hi)
         lo_w *= 2
-    lo_w = max(16, lo_w)
-    hi = max(16, -(-L // lo_w))
-    return lo_w, hi
+    return best[1], best[2]
 
 
 def fits(K: int, R: int, L: int, lo_w: int, hi: int, dtype_bytes: int = 4) -> bool:
     """Static predicate for the resident kernel: VMEM budget plus the
-    empirically-mapped Mosaic envelope (K < 1024 crashes the compile
-    helper on this toolchain — and at those sizes the XLA SoA path is
-    already sub-ms, so nothing is lost by falling back)."""
-    if K < 1024:
+    empirically-mapped Mosaic envelope — this toolchain's compile helper
+    CRASHES (subprocess exit 1, no diagnostic) outside 1024 <= K <= 4096
+    for this kernel family, independent of the VMEM estimate (K=8192
+    fails even with ~12.8 MB modeled). Outside the envelope the XLA SoA
+    path serves (still 1.5x the r3 layout at K=8192)."""
+    if K < 1024 or K > 4096:
         return False
     E = K * R
     persistent = (
@@ -74,7 +84,7 @@ def fits(K: int, R: int, L: int, lo_w: int, hi: int, dtype_bytes: int = 4) -> bo
         + 3 * E     # Oa blocks held across the two matvec passes
         + L * 12    # Ainv + tables
     )
-    temps = 3 * lo_w * K + 12 * K  # per-block dot temps + channel temps
+    temps = (2 * lo_w + hi) * K + 12 * K  # per-block oh/dot temps
     return (persistent + temps) * dtype_bytes < VMEM_BUDGET_BYTES
 
 

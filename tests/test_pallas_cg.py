@@ -144,7 +144,10 @@ class TestResidentCG:
     def test_fits_predicate(self):
         from semantic_slam_tpu.solver.pallas_cg import fits
 
-        assert not fits(512, 5, 128, 16, 16)  # Mosaic envelope: K >= 1024
-        assert fits(2048, 4, 512, 32, 16)
-        assert fits(4096, 4, 1024, 32, 32)
+        from semantic_slam_tpu.solver.pallas_cg import digit_split
+
+        assert not fits(512, 5, 128, *digit_split(128))  # envelope: K >= 1024
+        assert fits(2048, 4, 512, *digit_split(512))
+        assert fits(4096, 4, 1024, *digit_split(1024))
+        assert not fits(8192, 4, 2048, *digit_split(2048))  # Mosaic crash > 4096
         assert not fits(65536, 8, 4096, 64, 64)
