@@ -604,15 +604,10 @@ def soa_schur_step(
         # (solver/pallas_cg.py) — no HBM re-streaming per step
         from semantic_slam_tpu.solver.pallas_cg import resident_cg
 
-        Mdiag_p = lin.diag + lam * eye6[None]
-        Mdiag_p = (
-            Mdiag_p * pf[:, None, None]
-            + eye6[None] * (1.0 - pf)[:, None, None]
-        )
-        Minv_p = jnp.transpose(lm_inv66(Mdiag_p), (1, 2, 0))  # [6,6,K]
         dp_soa = resident_cg(
             lin.v, lin.Ow, lin.Rt[:, :, 0, :], lin.Hii, lin.Hij, lin.Hjj,
-            Minv_p, se.k_lo_dig, se.k_hi_dig, jnp.transpose(Ainv, (1, 2, 0)),
+            jnp.transpose(lin.diag, (1, 2, 0)),
+            se.k_lo_dig, se.k_hi_dig, jnp.transpose(Ainv, (1, 2, 0)),
             b, pf, lam, cg_tol, n_steps=max_cg_iters,
             interpret=pallas_interpret,
         )

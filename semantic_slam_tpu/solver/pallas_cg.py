@@ -123,6 +123,69 @@ def _m66T_vec(M, x):
     )
 
 
+def _inv33_ch(A):
+    """Closed-form adjugate/det 3x3 inverse on [3, 3, K] channel arrays
+    (lm.inv33's formula, channelwise so the big axis fills the lanes)."""
+    a, b, c = A[0][0], A[0][1], A[0][2]
+    d, e, f = A[1][0], A[1][1], A[1][2]
+    g_, h, i = A[2][0], A[2][1], A[2][2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g_ - d * i
+    A22 = a * i - c * g_
+    A23 = c * d - a * f
+    A31 = d * h - e * g_
+    A32 = b * g_ - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / det
+    return jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], axis=0),
+            jnp.stack([A21, A22, A23], axis=0),
+            jnp.stack([A31, A32, A33], axis=0),
+        ],
+        axis=0,
+    ) * inv_det
+
+
+def _mm33_ch(A, B):
+    return jnp.stack(
+        [
+            jnp.stack(
+                [sum(A[i, k] * B[k, j] for k in range(3)) for j in range(3)],
+                axis=0,
+            )
+            for i in range(3)
+        ],
+        axis=0,
+    )
+
+
+def _inv66_ch(M):
+    """lm.inv66 (2x2-of-3x3 block Schur) on [6, 6, K] channel arrays."""
+    A = M[:3, :3]
+    B = M[:3, 3:]
+    C = M[3:, :3]
+    D = M[3:, 3:]
+    Ai = _inv33_ch(A)
+    CAi = _mm33_ch(C, Ai)
+    S = D - _mm33_ch(CAi, B)
+    Si = _inv33_ch(S)
+    AiB = _mm33_ch(Ai, B)
+    TL = Ai + _mm33_ch(_mm33_ch(AiB, Si), CAi)
+    TR = -_mm33_ch(AiB, Si)
+    BL = -_mm33_ch(Si, CAi)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([TL, TR], axis=1),
+            jnp.concatenate([BL, Si], axis=1),
+        ],
+        axis=0,
+    )
+
+
 def _kernel(
     v_ref,      # [3, E] r-major slots
     Ow_ref,     # [3, 3, E]
@@ -130,7 +193,10 @@ def _kernel(
     Hii_ref,    # [6, 6, K]
     Hij_ref,    # [6, 6, K]
     Hjj_ref,    # [6, 6, K]
-    Minv_ref,   # [6, 6, K]
+    diag_ref,   # [6, 6, K] RAW pose diagonal blocks (damping/masking and
+                # the analytic block-Schur inverse happen IN-KERNEL, where
+                # the channel math fills the lanes — XLA's AoS inv66 ran
+                # at ~3.5% tile occupancy)
     lodig_ref,  # [1, E] i32 — lo digit of the slot landmark index
     hidig_ref,  # [1, E] i32 — hi digit
     Ainv_ref,   # [3, 3, L]
@@ -156,13 +222,33 @@ def _kernel(
     Hii = Hii_ref[:]
     Hij = Hij_ref[:]
     Hjj = Hjj_ref[:]
-    Minv = Minv_ref[:]
     lodig = lodig_ref[:]
     hidig = hidig_ref[:]
     Ainv = Ainv_ref[:]
     pf = pf_ref[:]  # [1, K]
     lam = lam_ref[0, 0]
     tol = tol_ref[0, 0]
+
+    # damped + gauge-masked block-Jacobi preconditioner, once per solve:
+    # Md = (diag + lam I) * pf + I * (1 - pf);  Minv = inv66(Md)
+    diag6 = diag_ref[:]
+    pfk = pf[0]
+    one_m = 1.0 - pfk
+    Md = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    (diag6[i, j] + (lam if i == j else 0.0)) * pfk
+                    + (one_m if i == j else 0.0)
+                    for j in range(6)
+                ],
+                axis=0,
+            )
+            for i in range(6)
+        ],
+        axis=0,
+    )
+    Minv = _inv66_ch(Md)
 
     def oh_blocks(sl):
         """Regenerate this slot block's one-hot factors from the digit
@@ -287,7 +373,7 @@ def resident_cg(
     Hii,     # [6, 6, K]
     Hij,
     Hjj,
-    Minv,    # [6, 6, K] damped block-Jacobi inverse (pose-masked)
+    diag,    # [6, 6, K] raw pose diagonal blocks (Minv built in-kernel)
     lo_dig,  # [1, E] i32 r-major digit vectors (SoAEdges.k_*_dig)
     hi_dig,  # [1, E] i32
     Ainv,    # [3, 3, L] channelized damped landmark-block inverse
@@ -322,7 +408,7 @@ def resident_cg(
         v.astype(f32).reshape(3, E),
         Ow.astype(f32).reshape(3, 3, E),
         Rt.astype(f32), Hii.astype(f32), Hij.astype(f32), Hjj.astype(f32),
-        Minv.astype(f32),
+        diag.astype(f32),
         lo_dig.astype(jnp.int32).reshape(1, E),
         hi_dig.astype(jnp.int32).reshape(1, E),
         Ainv.astype(f32), b.astype(f32), pf.astype(f32).reshape(1, K),
