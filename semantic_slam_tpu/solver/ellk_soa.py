@@ -49,8 +49,8 @@ import jax
 import jax.numpy as jnp
 
 from semantic_slam_tpu.core import geometry as geo
-from semantic_slam_tpu.graph import residuals as res
 from semantic_slam_tpu.graph.state import GraphState
+from semantic_slam_tpu.solver import chain_soa as chs
 from semantic_slam_tpu.solver.lm import LMStats, _free_masks, inv33
 from semantic_slam_tpu.solver.lm import inv66 as lm_inv66
 from semantic_slam_tpu.solver.pcg import (
@@ -167,9 +167,10 @@ def _rotmat_conj_channels(qw, qx, qy, qz):
 class SoAEdges(NamedTuple):
     """Per-solve static edge data, big axes last.
 
-    Landmark slots: [.., R, K] channel arrays. Odometry stays in the AoS
-    [K,...] form of ``pcg.EllEdges`` for the (cheap, [K]-sized) jacobian
-    build; its blocks transpose to [6,6,K] once per linearization."""
+    Landmark slots: [.., R, K] channel arrays. Odometry is carried BOTH
+    ways: the AoS [K,...] form of ``pcg.EllEdges`` (compat) and the
+    channel form the r5 chain linearize (``chain_soa``) and the Pallas
+    kernels consume."""
 
     ll: jax.Array  # [K, R] landmark index (0 empty) — gathers/seg-sums
     meas: jax.Array  # [3, R, K]
@@ -177,6 +178,8 @@ class SoAEdges(NamedTuple):
     o_meas: jax.Array  # [K, 7]
     o_info: jax.Array  # [K, 6, 6]
     o_w: jax.Array  # [K]
+    o_meas_ch: jax.Array  # [7, K] chain measurement channels
+    o_info_ch: jax.Array  # [6, 6, K] chain information channels
     # two-level one-hot factors of ll (pcg._seg_sum_l digit split),
     # MATERIALIZED once per solve: nested in the LM while, XLA fails to
     # hoist the loop-invariant compares out of the CG while, re-running
@@ -195,7 +198,10 @@ class SoAEdges(NamedTuple):
 class SoALin(NamedTuple):
     """One linearization: factored observation primitives + assembled
     per-pose/landmark reductions (AoS where the LM loop/prior consume them).
-    """
+
+    On the Pallas path the kernel-native forms are ALSO carried (channel
+    gp/diag and the landmark digit-grid tables) so ``resident_solve``
+    consumes kernel-L outputs with zero XLA relayouts; None elsewhere."""
 
     v: jax.Array  # [3, R, K]  v = Rt (l - t)
     Ow: jax.Array  # [3, 3, R, K]  robust-weighted, mask-zeroed O'
@@ -208,6 +214,10 @@ class SoALin(NamedTuple):
     gl: jax.Array  # [L, 3]
     diag: jax.Array  # [K, 6, 6]
     chi2: jax.Array
+    gp_ch: jax.Array | None = None  # [6, K] (kernel path)
+    diag_ch: jax.Array | None = None  # [6, 6, K]
+    gl_tab: jax.Array | None = None  # [Lg, 3] digit-grid table
+    Hll_tab: jax.Array | None = None  # [Lg, 9]
 
 
 def build_soa_edges(edge_args: tuple, K: int, R: int, L: int) -> SoAEdges:
@@ -244,6 +254,8 @@ def soa_from_ell_edges(ee: EllEdges, L: int | None = None) -> SoAEdges:
         o_meas=ee.o_meas,
         o_info=ee.o_info,
         o_w=ee.o_w,
+        o_meas_ch=jnp.transpose(ee.o_meas),
+        o_info_ch=jnp.transpose(ee.o_info, (1, 2, 0)),
         oh_lo=oh_lo,
         oh_hi=oh_hi,
         k_lo_dig=k_lo_dig,
@@ -288,55 +300,59 @@ def soa_linearize(
 ) -> SoALin:
     """pcg.ell_linearize re-expressed channelwise (see module docstring).
 
-    The observation part computes (v, O', Rt) primitives plus the
-    gp/gl/diag/Hll/chi2 reductions; the odometry part reuses the existing
-    AoS jacobian build on [K]-sized arrays, transposed to K-last blocks."""
+    Both the observation and the odometry-chain parts run channelwise
+    (``chain_soa``); on the Pallas path the WHOLE linearization (obs +
+    chain) is one kernel (``pallas_cg.resident_linearize``)."""
     K, R = se.ll.shape
     L = landmarks.shape[0]
     dtype = poses.dtype
 
-    # ---- odometry chain (AoS build, [K] rows; identical to ell_linearize)
-    pj = jnp.roll(poses, -1, axis=0)
-    r_o, Ji, Jj = jax.vmap(res.se3_edge_residual_jac)(poses, pj, se.o_meas)
-    JiT_O = jnp.einsum("kai,kab->kib", Ji, se.o_info)
-    JjT_O = jnp.einsum("kai,kab->kib", Jj, se.o_info)
-    H_ii = jnp.einsum("kia,kaj->kij", JiT_O, Ji)
-    H_ij = jnp.einsum("kia,kaj->kij", JiT_O, Jj)
-    H_jj = jnp.einsum("kia,kaj->kij", JjT_O, Jj)
-    g_i = jnp.einsum("kia,ka->ki", JiT_O, r_o)
-    g_j = jnp.einsum("kia,ka->ki", JjT_O, r_o)
-    chi_o = jnp.einsum("ka,kab,kb->", r_o, se.o_info, r_o)
-
     if use_pallas:
-        # observation part in ONE Pallas kernel (pallas_cg.
-        # resident_obs_linearize): after the CG loop went VMEM-resident,
-        # the XLA obs linearize was the per-iteration dominator — its
-        # D=9 landmark seg-sums fuse pathologically inside the LM while
-        from semantic_slam_tpu.solver.pallas_cg import resident_obs_linearize
+        # the whole linearization in ONE Pallas kernel: after the CG loop
+        # went VMEM-resident (r4), the XLA linearize + prep was the
+        # per-iteration dominator (VERDICT r4 "half the solve is still
+        # XLA prep")
+        from semantic_slam_tpu.solver.pallas_cg import resident_linearize
 
-        (v, Ow, Rt3, gp_obs, diag_obs, gl, Hll, chi_l) = (
-            resident_obs_linearize(
-                poses, landmarks, se.meas, se.info, se.k_lo_dig,
-                se.k_hi_dig, robust_kind=robust_kind,
-                robust_delta=robust_delta, interpret=pallas_interpret,
-            )
+        (v, Ow, Rt3, Hii_c, Hij_c, Hjj_c, gp_ch, diag_ch, gl_tab,
+         Hll_tab, chi) = resident_linearize(
+            poses, landmarks, se.meas, se.info, se.k_lo_dig,
+            se.k_hi_dig, se.o_meas_ch, se.o_info_ch,
+            robust_kind=robust_kind,
+            robust_delta=robust_delta, interpret=pallas_interpret,
         )
         return SoALin(
             v=v,
             Ow=Ow,
             Rt=Rt3[:, :, None, :],
-            Hii=jnp.transpose(H_ii, (1, 2, 0)),
-            Hij=jnp.transpose(H_ij, (1, 2, 0)),
-            Hjj=jnp.transpose(H_jj, (1, 2, 0)),
-            Hll=Hll,
-            gp=g_i + _shift_down_aos(g_j) + gp_obs,
-            gl=gl,
-            diag=H_ii + _shift_down_aos(H_jj) + diag_obs,
-            chi2=chi_o + chi_l,
+            Hii=Hii_c,
+            Hij=Hij_c,
+            Hjj=Hjj_c,
+            Hll=Hll_tab[:L].reshape(L, 3, 3),
+            gp=jnp.transpose(gp_ch),
+            gl=gl_tab[:L],
+            diag=jnp.transpose(diag_ch, (2, 0, 1)),
+            chi2=chi,
+            gp_ch=gp_ch,
+            diag_ch=diag_ch,
+            gl_tab=gl_tab,
+            Hll_tab=Hll_tab,
         )
 
+    # ---- odometry chain, channelwise (chain_soa — same math as the AoS
+    # vmap(se3_edge_residual_jac) build, lane-filling op order)
+    t_i = jnp.transpose(poses[:, :3])  # [3, K]
+    q_i = jnp.transpose(poses[:, 3:7])
+    t_j = chs.roll_up_pose_ch(t_i)
+    q_j = chs.roll_up_pose_ch(q_i)
+    Hii_c, Hij_c, Hjj_c, gi_c, gj_c, chi_k = chs.chain_linearize_ch(
+        t_i, q_i, t_j, q_j, se.o_meas_ch[:3], se.o_meas_ch[3:7],
+        se.o_info_ch,
+    )
+    chi_o = jnp.sum(chi_k)
+
     # ---- observation edges: channel arrays [.., R, K]
-    t_ch = jnp.transpose(poses[:, :3])[:, None, :]  # [3, 1, K]
+    t_ch = t_i[:, None, :]  # [3, 1, K]
     qw, qx, qy, qz = (poses[:, 3], poses[:, 4], poses[:, 5], poses[:, 6])
     Rt = _rotmat_conj_channels(qw, qx, qy, qz)[:, :, None, :]  # [3,3,1,K]
     # kept [3,3,1,K]: broadcasting supplies the R axis inside each product,
@@ -389,28 +405,20 @@ def soa_linearize(
     Hkk = _assemble_h66(Ow, -OB, BtOB)  # [6,6,R,K]
     diag_obs = jnp.sum(Hkk, axis=2)  # [6,6,K]
 
-    # assembled AoS outputs
-    diag = (
-        H_ii
-        + _shift_down_aos(H_jj)
-        + jnp.transpose(diag_obs, (2, 0, 1))
-    )
-    gp = (
-        g_i
-        + _shift_down_aos(g_j)
-        + jnp.transpose(gp_obs, (1, 0))
-    )
+    # assembled outputs (channel form, transposed to the AoS interface)
+    diag_ch = diag_obs + Hii_c + _shift_down_soa(Hjj_c)
+    gp_ch = gp_obs + gi_c + _shift_down_soa(gj_c)
     return SoALin(
         v=v,
         Ow=Ow,
         Rt=Rt,
-        Hii=jnp.transpose(H_ii, (1, 2, 0)),
-        Hij=jnp.transpose(H_ij, (1, 2, 0)),
-        Hjj=jnp.transpose(H_jj, (1, 2, 0)),
+        Hii=Hii_c,
+        Hij=Hij_c,
+        Hjj=Hjj_c,
         Hll=Hll,
-        gp=gp,
+        gp=jnp.transpose(gp_ch),
         gl=gl,
-        diag=diag,
+        diag=jnp.transpose(diag_ch, (2, 0, 1)),
         chi2=chi_o + chi_l,
     )
 
@@ -422,34 +430,52 @@ def soa_chi2(
     robust_kind: str = "none",
     robust_delta: float = 1.0,
     prior=None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Objective value only — the trial-point evaluation of the LM loop.
 
-    Float-IDENTICAL to ``soa_linearize(...).chi2`` (same op order on the
-    residual path, same prior term as apply_prior_blocks adds), at ~1/4 the
-    cost: no jacobians, no block products, no seg-sums. Keeping the loop's
-    accept/reject decisions bitwise-equal to the carry-the-blocks scheme is
-    what lets run_lm_loop_soa drop the 7 MB linearization tree from the
-    while carry (measured: the tree carry cost more than the relinearize
-    it saved)."""
+    Float-IDENTICAL to ``soa_linearize(...).chi2`` on the same path (same
+    op order on the residual path, same prior term as the prior fold
+    adds), at ~1/4 the cost: no jacobians, no block products, no seg-sums.
+    Keeping the loop's accept/reject decisions bitwise-equal to the
+    carry-the-blocks scheme is what lets run_lm_loop_soa drop the 7 MB
+    linearization tree from the while carry (measured: the tree carry cost
+    more than the relinearize it saved). On the Pallas path this is one
+    kernel (``pallas_cg.resident_chi2``)."""
     K, R = se.ll.shape
     L = landmarks.shape[0]
 
-    pj = jnp.roll(poses, -1, axis=0)
-    r_o = jax.vmap(res.se3_edge_residual)(poses, pj, se.o_meas)
-    chi_o = jnp.einsum("ka,kab,kb->", r_o, se.o_info, r_o)
+    if use_pallas:
+        from semantic_slam_tpu.solver.pallas_cg import resident_chi2
 
-    t_ch = jnp.transpose(poses[:, :3])[:, None, :]
-    qw, qx, qy, qz = (poses[:, 3], poses[:, 4], poses[:, 5], poses[:, 6])
-    Rt = _rotmat_conj_channels(qw, qx, qy, qz)[:, :, None, :]
-    lw = _gather_oh(se.oh_lo, se.oh_hi, landmarks, L)
-    lw_ch = jnp.transpose(lw.reshape(K, R, 3), (2, 1, 0))
-    v = _m33_vec(Rt, lw_ch - t_ch)
-    r = v - se.meas
-    Or = _m33_vec(se.info, r)
-    chi_e = sum(r[i] * Or[i] for i in range(3))
-    chi_l = jnp.sum(robust_rho(chi_e.reshape(-1), robust_kind, robust_delta))
-    chi = chi_o + chi_l
+        chi = resident_chi2(
+            poses, landmarks, se.meas, se.info, se.k_lo_dig, se.k_hi_dig,
+            se.o_meas_ch, se.o_info_ch, robust_kind=robust_kind,
+            robust_delta=robust_delta, interpret=pallas_interpret,
+        )
+    else:
+        t_i = jnp.transpose(poses[:, :3])
+        q_i = jnp.transpose(poses[:, 3:7])
+        chi_k = chs.chain_chi2_ch(
+            t_i, q_i, chs.roll_up_pose_ch(t_i), chs.roll_up_pose_ch(q_i),
+            se.o_meas_ch[:3], se.o_meas_ch[3:7], se.o_info_ch,
+        )
+        chi_o = jnp.sum(chi_k)
+
+        t_ch = t_i[:, None, :]
+        qw, qx, qy, qz = (poses[:, 3], poses[:, 4], poses[:, 5], poses[:, 6])
+        Rt = _rotmat_conj_channels(qw, qx, qy, qz)[:, :, None, :]
+        lw = _gather_oh(se.oh_lo, se.oh_hi, landmarks, L)
+        lw_ch = jnp.transpose(lw.reshape(K, R, 3), (2, 1, 0))
+        v = _m33_vec(Rt, lw_ch - t_ch)
+        r = v - se.meas
+        Or = _m33_vec(se.info, r)
+        chi_e = sum(r[i] * Or[i] for i in range(3))
+        chi_l = jnp.sum(
+            robust_rho(chi_e.reshape(-1), robust_kind, robust_delta)
+        )
+        chi = chi_o + chi_l
     if prior is not None:
         from semantic_slam_tpu.solver import fixed_lag as fl
 
@@ -457,9 +483,41 @@ def soa_chi2(
     return chi
 
 
-def _shift_down_aos(a):
-    """Row k of the result = row k-1 of a (row 0 = 0) — AoS [K, ...]."""
-    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+def apply_prior_soa_k(lin: SoALin, prior, poses, landmarks) -> SoALin:
+    """Fold a fixed-lag ``MarginalPrior`` into a KERNEL-path linearization:
+    the channel/grid fields feed ``resident_solve`` directly (the dense
+    boundary block itself is applied inside the kernel's matvec), and the
+    AoS views are re-derived so marginals/pred consume consistent values.
+    Same additions as ``pcg.apply_prior_blocks``."""
+    from semantic_slam_tpu.solver import fixed_lag as fl
+
+    dtype = lin.gp.dtype
+    PB = prior.p_idx.shape[0]
+    L = landmarks.shape[0]
+    gp_add, gl_add, chi_pr = fl.prior_fold_terms(prior, poses, landmarks, dtype)
+    gp_ch = lin.gp_ch.at[:, prior.p_idx].add(
+        jnp.transpose(gp_add.reshape(PB, 6)).astype(lin.gp_ch.dtype)
+    )
+    diag_ch = lin.diag_ch.at[:, :, prior.p_idx].add(
+        jnp.transpose(fl.prior_pose_diag(prior), (1, 2, 0)).astype(
+            lin.diag_ch.dtype
+        )
+    )
+    gl_tab = lin.gl_tab.at[:L].add(gl_add.astype(lin.gl_tab.dtype))
+    Hll_tab = lin.Hll_tab.at[:L].add(
+        prior.Hl.reshape(L, 9).astype(lin.Hll_tab.dtype)
+    )
+    return lin._replace(
+        gp_ch=gp_ch,
+        diag_ch=diag_ch,
+        gl_tab=gl_tab,
+        Hll_tab=Hll_tab,
+        gp=jnp.transpose(gp_ch),
+        diag=jnp.transpose(diag_ch, (2, 0, 1)),
+        gl=gl_tab[:L],
+        Hll=Hll_tab[:L].reshape(L, 3, 3),
+        chi2=lin.chi2 + chi_pr.astype(lin.chi2.dtype),
+    )
 
 
 def _roll_up_soa(x):
@@ -547,6 +605,43 @@ def soa_schur_step(
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
 
+    if use_pallas and precond_kind == "jacobi":
+        # the ENTIRE damped Schur solve in one kernel: Ainv/Minv built
+        # in-kernel, RHS build, VMEM-resident CG, landmark back-
+        # substitution, optional boundary prior inside the matvec
+        # (solver/pallas_cg.resident_solve)
+        from semantic_slam_tpu.solver.pallas_cg import digit_split, resident_solve
+
+        lo_w, hi_d = digit_split(L)
+        Lg = lo_w * hi_d
+        if lin.gl_tab is None:
+            # linearization came from the XLA path (mixed usage): derive
+            # the kernel-form grid tables / channel views from AoS fields
+            padL = Lg - L
+            gl_tab = jnp.concatenate([lin.gl, jnp.zeros((padL, 3), dtype)])
+            Hll_tab = jnp.concatenate(
+                [lin.Hll.reshape(L, 9), jnp.zeros((padL, 9), dtype)]
+            )
+            gp_ch = jnp.transpose(lin.gp)
+            diag_ch = jnp.transpose(lin.diag, (1, 2, 0))
+        else:
+            gl_tab, Hll_tab = lin.gl_tab, lin.Hll_tab
+            gp_ch, diag_ch = lin.gp_ch, lin.diag_ch
+        lmf_tab = jnp.concatenate(
+            [lmf, jnp.zeros((Lg - L,), dtype)]
+        )
+        dp_soa, db_tab = resident_solve(
+            lin.v, lin.Ow, lin.Rt[:, :, 0, :], lin.Hii, lin.Hij, lin.Hjj,
+            diag_ch, se.k_lo_dig, se.k_hi_dig,
+            gp_ch, gl_tab, Hll_tab, lmf_tab, pf,
+            lam, cg_tol, n_steps=max_cg_iters, lo_w=lo_w,
+            prior_Hp=None if prior is None else prior.Hp,
+            prior_idx=None if prior is None else prior.p_idx,
+            interpret=pallas_interpret,
+        )
+        dpk = dp_soa.astype(dtype) * pf_soa
+        return jnp.transpose(dpk), db_tab[:L].astype(dtype)
+
     # bundle the matvec primitives (incl. the precomputed one-hot factors)
     class _L(NamedTuple):
         v: jax.Array
@@ -599,48 +694,35 @@ def soa_schur_step(
         def precond(r_soa):
             return _m66_vec(Minv, r_soa) * pf_soa
 
-    if use_pallas and precond_kind == "jacobi" and prior is None:
-        # VMEM-resident CG: the whole inner loop in one Pallas kernel
-        # (solver/pallas_cg.py) — no HBM re-streaming per step
-        from semantic_slam_tpu.solver.pallas_cg import resident_cg
+    def matvec(p):
+        return _soa_matvec_inner(ml, Ainv, lam, pf_soa, p, prior)
 
-        dp_soa = resident_cg(
-            lin.v, lin.Ow, lin.Rt[:, :, 0, :], lin.Hii, lin.Hij, lin.Hjj,
-            jnp.transpose(lin.diag, (1, 2, 0)),
-            se.k_lo_dig, se.k_hi_dig, jnp.transpose(Ainv, (1, 2, 0)),
-            b, pf, lam, cg_tol, n_steps=max_cg_iters,
-            interpret=pallas_interpret,
-        )
-    else:
-        def matvec(p):
-            return _soa_matvec_inner(ml, Ainv, lam, pf_soa, p, prior)
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+    b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
 
-        x = jnp.zeros_like(b)
-        r = b
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (jnp.sum(r * r) > cg_tol * b2) & (it < max_cg_iters)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
         z = precond(r)
-        p = z
-        rz = jnp.sum(r * z)
-        b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
 
-        def cond(carry):
-            _, r, _, _, it = carry
-            return (jnp.sum(r * r) > cg_tol * b2) & (it < max_cg_iters)
-
-        def body(carry):
-            x, r, p, rz, it = carry
-            Ap = matvec(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = precond(r)
-            rz_new = jnp.sum(r * z)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
-            p = z + beta * p
-            return x, r, p, rz_new, it + 1
-
-        dp_soa, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32))
-        )
+    dp_soa, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.zeros((), jnp.int32))
+    )
 
     dpk = dp_soa * pf_soa
     a = _obs_apply_jp(ml.v, dpk)
@@ -724,16 +806,22 @@ def run_lm_loop_soa(
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         if prior is not None:
-            # apply_prior_blocks touches only Hll/gp/gl/diag/chi2 via
-            # _replace — field names shared with EllBlocks by design, so
-            # the fold is literally the same code as the AoS paths
-            lin = apply_prior_blocks(lin, prior, p, l)
+            if use_pallas:
+                # kernel-path fold: channel/grid fields updated so
+                # resident_solve consumes post-prior values directly
+                lin = apply_prior_soa_k(lin, prior, p, l)
+            else:
+                # apply_prior_blocks touches only Hll/gp/gl/diag/chi2 via
+                # _replace — field names shared with EllBlocks by design,
+                # so the fold is literally the same code as the AoS paths
+                lin = apply_prior_blocks(lin, prior, p, l)
         return lin
 
     def chi2_at(p, l):
         return soa_chi2(
             p, l, se, robust_kind=robust_kind, robust_delta=robust_delta,
-            prior=prior,
+            prior=prior, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
         )
 
     # initial build: XLA dead-code-eliminates everything but chi2 and the
@@ -849,9 +937,10 @@ def lm_optimize_soa(
 ):
     """Drop-in for pcg.lm_optimize_pcg(assembly='ell') on the SoA layout.
 
-    ``use_pallas='auto'`` engages the VMEM-resident CG kernel on TPU when
+    ``use_pallas='auto'`` engages the VMEM-resident kernels on TPU when
     the static shapes fit the budget and the configuration is in kernel
-    scope (jacobi preconditioner, no prior) — pallas_cg.fits()."""
+    scope (jacobi preconditioner; fixed-lag priors supported in-kernel
+    since r5) — pallas_cg.fits()."""
     if use_pallas == "auto":
         from semantic_slam_tpu.solver.pallas_cg import digit_split, fits
 
@@ -861,7 +950,6 @@ def lm_optimize_soa(
         use_pallas = (
             jax.default_backend() == "tpu"
             and precond_kind == "jacobi"
-            and prior is None
             and fits(K, ell_rows[2], L, lo_d, hi_d)
         )
     pose_free, lm_free = _free_masks(g)

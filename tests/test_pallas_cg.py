@@ -92,10 +92,10 @@ class TestResidentCG:
             np.asarray(dp_p), np.asarray(dp_x), rtol=1e-4, atol=1e-6
         )
 
-    def test_obs_linearize_matches_xla(self, graph):
-        """resident_obs_linearize: every output (v/Ow/Rt/gp/diag/gl/Hll/
-        chi2) matches the XLA soa_linearize up to float summation order,
-        across robust kernels."""
+    def test_linearize_matches_xla(self, graph):
+        """resident_linearize (obs + chain in one kernel): every output
+        (v/Ow/Rt/gp/diag/gl/Hll/chi2) matches the XLA soa_linearize up to
+        float summation order, across robust kernels."""
         g, ell_rows = graph
         K = g.poses.shape[0]
         L = g.landmarks.shape[0]
@@ -136,6 +136,77 @@ class TestResidentCG:
         )
         np.testing.assert_allclose(
             np.asarray(gb.poses), np.asarray(ga.poses), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            float(sb.chi2_final), float(sa.chi2_final), rtol=1e-4
+        )
+
+    def test_chain_blocks_match_xla(self, graph):
+        """The chain blocks (Hii/Hij/Hjj) the linearize kernel emits match
+        the XLA channelwise build."""
+        g, ell_rows = graph
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        se = soa_mod.build_soa_edges(pcg_mod._edge_args(g), K, ell_rows[2], L)
+        lin_x = soa_mod.soa_linearize(g.poses, g.landmarks, se)
+        lin_p = soa_mod.soa_linearize(
+            g.poses, g.landmarks, se, use_pallas=True, pallas_interpret=True
+        )
+        for name in ("Hii", "Hij", "Hjj"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(lin_p, name)),
+                np.asarray(getattr(lin_x, name)),
+                rtol=1e-4, atol=1e-5, err_msg=name,
+            )
+
+    def test_chi2_kernel_matches_xla(self, graph):
+        """resident_chi2 equals the XLA trial-point objective and the
+        linearize kernel's chi2 (the accept/reject pair)."""
+        g, ell_rows = graph
+        K = g.poses.shape[0]
+        L = g.landmarks.shape[0]
+        se = soa_mod.build_soa_edges(pcg_mod._edge_args(g), K, ell_rows[2], L)
+        for kind in ("none", "huber"):
+            c_x = soa_mod.soa_chi2(
+                g.poses, g.landmarks, se, robust_kind=kind, robust_delta=1.0
+            )
+            c_p = soa_mod.soa_chi2(
+                g.poses, g.landmarks, se, robust_kind=kind, robust_delta=1.0,
+                use_pallas=True, pallas_interpret=True,
+            )
+            np.testing.assert_allclose(float(c_p), float(c_x), rtol=1e-5)
+            lin_p = soa_mod.soa_linearize(
+                g.poses, g.landmarks, se, robust_kind=kind, robust_delta=1.0,
+                use_pallas=True, pallas_interpret=True,
+            )
+            np.testing.assert_allclose(
+                float(c_p), float(lin_p.chi2), rtol=1e-6
+            )
+
+    def test_prior_in_kernel_matches_xla(self, graph):
+        """Fixed-lag boundary prior (r5: applied INSIDE the solve kernel's
+        matvec + folded into the grid tables): full LM with prior on the
+        kernel path lands at the XLA solution."""
+        import jax.numpy as jnp
+
+        from semantic_slam_tpu.solver import fixed_lag as fl
+
+        g, _ = graph
+        L = g.landmarks.shape[0]
+        g2, prior, _ = fl.marginalize(
+            g, fl.empty_prior(L, dtype=jnp.float32), drop=4
+        )
+        g2, ell_rows = _sort_obs_edges(g2)
+        ga, sa = soa_mod.lm_optimize_soa(
+            g2, max_iterations=10, ell_rows=ell_rows, max_cg_iters=64,
+            prior=prior, use_pallas=False,
+        )
+        gb, sb = soa_mod.lm_optimize_soa(
+            g2, max_iterations=10, ell_rows=ell_rows, max_cg_iters=64,
+            prior=prior, use_pallas=True, pallas_interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb.poses), np.asarray(ga.poses), atol=1e-4
         )
         np.testing.assert_allclose(
             float(sb.chi2_final), float(sa.chi2_final), rtol=1e-4
