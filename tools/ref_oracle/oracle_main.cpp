@@ -764,6 +764,286 @@ void section_association() {
 
 } // namespace
 
+// ---------------------------------------------------------------------------
+// whole-session composition section
+// ---------------------------------------------------------------------------
+//
+// The unit sections above pin each reference piece separately; this section
+// pins their COMPOSITION over a whole synthetic VIO session — the de-facto
+// program of semantic_graph_slam.cpp executed by the real reference code:
+//
+//   VIOCallback (:234-287): KeyframeUpdater gating with the
+//   detection-availability override (update_keyframes_using_detections_),
+//   dead-reckoned robot_pose_ accumulation on NON-keyframe frames only (the
+//   keyframe snapshot therefore LAGS odometry by the keyframe frame's own
+//   increment), prev_odom_ bookkeeping;
+//   run() (:58-102): immediate queue processing, association at the
+//   robot_pose_ SNAPSHOT (semantic_data_ass :206-223), landmark node
+//   assignment (empty_landmark_queue :152-179), and the optimize() refresh
+//   robot_pose_ = last keyframe estimate — gated by GraphSLAM::optimize's
+//   <10-edge skip (graph_slam.cpp:182-186), so early keyframes do NOT
+//   refresh and the dead-reckoning gap compounds. With the oracle's stub
+//   g2o, estimates equal odometry — exactly the engine with optimization
+//   disabled, which is how the Python twin replays this golden.
+//
+// Detections are generated with the same carryover-UB probe guard as
+// run_association_scenario (reference-code probes, no reimplemented math).
+
+std::vector<detected_object>
+gen_session_dets(data_association &da, semantic_tools &st,
+                 const Eigen::VectorXf &robot_pose6, float cam_angle,
+                 int max_dets, bool da_has_history) {
+  std::vector<detected_object> dets;
+  std::vector<landmark> table;
+  da.getMappedLandmarks(table);
+  std::vector<std::pair<int, int>> frame_pairs;
+  int n_dets = irand(1, max_dets);
+  for (int d = 0; d < n_dets; ++d) {
+    bool placed = false;
+    for (int attempt = 0; attempt < 40 && !placed; ++attempt) {
+      std::pair<int, int> pair(irand(0, 3), irand(0, 1));
+      if (da_has_history) {
+        bool dup = false;
+        for (auto &p : frame_pairs)
+          if (p == pair)
+            dup = true;
+        if (dup)
+          continue; // same-frame duplicate pair risks the unassigned-node UB
+      }
+      detected_object det;
+      det.id = d;
+      det.prob = static_cast<float>(urand(0.5, 1.0));
+      det.num_points = static_cast<float>(irand(100, 2000));
+      det.type = kTypes[pair.first];
+      det.plane_type = kPlaneTypes[pair.second];
+
+      Eigen::Vector3f target;
+      bool aimed = false;
+      if (urand(0, 1) < 0.6) {
+        std::vector<int> cands;
+        for (size_t i = 0; i < table.size(); ++i)
+          if (table[i].type == det.type && table[i].plane_type == det.plane_type)
+            cands.push_back(static_cast<int>(i));
+        if (!cands.empty()) {
+          const landmark &l =
+              table[cands[irand(0, static_cast<int>(cands.size()) - 1)]];
+          target =
+              l.pose + Eigen::Vector3f(static_cast<float>(urand(-0.3, 0.3)),
+                                       static_cast<float>(urand(-0.3, 0.3)),
+                                       static_cast<float>(urand(-0.3, 0.3)));
+          aimed = true;
+        }
+      }
+      if (!aimed)
+        target = Eigen::Vector3f(static_cast<float>(urand(-5, 5)),
+                                 static_cast<float>(urand(-5, 5)),
+                                 static_cast<float>(urand(0, 3)));
+      det.pose = cam_point_for_world(st, robot_pose6, cam_angle, target);
+
+      std::normal_distribution<double> n(0.0, 1.0);
+      Eigen::Vector3f nv(static_cast<float>(n(rng)), static_cast<float>(n(rng)),
+                         static_cast<float>(n(rng)));
+      nv.normalize();
+      det.normal_orientation << nv(0), nv(1), nv(2),
+          static_cast<float>(urand(-2, 2));
+
+      // carryover-UB probe guard (see run_association_scenario)
+      if (da_has_history && !dets.empty()) {
+        std::vector<detected_object> with_det = dets;
+        with_det.push_back(det);
+        data_association probe1 = da;
+        std::vector<landmark> r1 =
+            probe1.find_matches(with_det, robot_pose6, cam_angle);
+        data_association probe2 = da;
+        probe2.find_matches(dets, robot_pose6, cam_angle);
+        std::vector<detected_object> just_det{det};
+        std::vector<landmark> r2 =
+            probe2.find_matches(just_det, robot_pose6, cam_angle);
+        const landmark &a = r1.back();
+        const landmark &b = r2.back();
+        bool agree = (a.is_new_landmark == b.is_new_landmark) &&
+                     (a.is_new_landmark || a.id == b.id);
+        if (!agree)
+          continue;
+      }
+      frame_pairs.push_back(pair);
+      dets.push_back(det);
+      placed = true;
+    }
+  }
+  return dets;
+}
+
+void run_session_scenario(const char *name, bool use_maha, bool use_eq,
+                          double maha_thres, double eq_thres, int n_frames,
+                          int max_dets) {
+  ros::oracle_params::clear();
+  ros::oracle_params::doubles()["~maha_dist_thres"] = maha_thres;
+  ros::oracle_params::doubles()["~eq_dist_thres"] = eq_thres;
+  ros::oracle_params::doubles()["~land_noise_low"] = 0.5;
+  ros::oracle_params::doubles()["~land_noise_high"] = 0.9;
+  ros::oracle_params::bools()["~use_maha_dist"] = use_maha;
+  ros::oracle_params::bools()["~use_eq_dist"] = use_eq;
+  ros::oracle_params::bools()["~use_rtab_map_odom"] = false;
+  // keyframe_updater defaults (launch/*.launch values)
+  ros::oracle_params::doubles()["~keyframe_delta_trans"] = 0.5;
+  ros::oracle_params::doubles()["~keyframe_delta_angle"] = 0.5;
+  ros::oracle_params::doubles()["~keyframe_delta_time"] = 1.0;
+
+  ps_graph_slam::KeyframeUpdater upd;
+  data_association da(false);
+  semantic_tools st;
+  float cam_angle = static_cast<float>(urand(0.0, 0.7));
+
+  Obj so;
+  kstr("name", name);
+  kbool("use_maha", use_maha);
+  kbool("use_eq", use_eq);
+  knum("maha_thres", maha_thres);
+  knum("eq_thres", eq_thres);
+  knum("cam_angle", cam_angle);
+
+  // VIOCallback state (semantic_graph_slam.cpp:44, 234-287)
+  Eigen::Isometry3d robot_pose_ = Eigen::Isometry3d::Identity();
+  Eigen::Isometry3d prev_odom_ = Eigen::Isometry3d::Identity();
+  bool first_key_added_ = false;
+  bool da_has_history = false;
+  long long n_keyframes = 0;
+  long long n_edges = 0; // odometry + landmark-observation edges
+
+  // odometry random walk
+  Eigen::Vector3d t(0, 0, 0);
+  Eigen::Quaterniond q = Eigen::Quaterniond::Identity();
+  uint32_t sec = 2000, nsec = 0;
+
+  {
+    Arr frames("frames");
+    for (int f = 0; f < n_frames; ++f) {
+      if (f > 0) {
+        double scale = (irand(0, 2) == 0) ? 0.35 : 0.08;
+        for (int k = 0; k < 3; ++k)
+          t(k) += urand(-scale, scale);
+        std::normal_distribution<double> n(0.0,
+                                           (irand(0, 3) == 0) ? 0.12 : 0.03);
+        Eigen::Quaterniond qd(1.0, n(rng), n(rng), n(rng));
+        qd.normalize();
+        q = (q * qd).normalized();
+        uint64_t step_ns =
+            (irand(0, 4) == 0)
+                ? 1000000000ull
+                : 150000000ull + static_cast<uint64_t>(irand(0, 250)) * 1000000ull;
+        uint64_t total = static_cast<uint64_t>(nsec) + step_ns;
+        sec += static_cast<uint32_t>(total / 1000000000ull);
+        nsec = static_cast<uint32_t>(total % 1000000000ull);
+      }
+      Eigen::Isometry3d odom = Eigen::Isometry3d::Identity();
+      odom.linear() = q.toRotationMatrix();
+      odom.translation() = t;
+
+      bool det_available = irand(0, 2) != 0; // ~2/3 of frames see detections
+
+      Obj fo;
+      kvec("odom_pos", t, 3);
+      Eigen::Vector4d qx(q.x(), q.y(), q.z(), q.w());
+      kvec("odom_quat_xyzw", qx, 4);
+      kint("t_sec", sec);
+      kint("t_nsec", nsec);
+      kbool("det_available", det_available);
+
+      // ---- VIOCallback (update_keyframes_using_detections_ = true)
+      bool gate = upd.update(odom, ros::Time(sec, nsec));
+      if (!gate && !det_available) {
+        if (first_key_added_) {
+          Eigen::Isometry3d pose_inc = prev_odom_.inverse() * odom;
+          robot_pose_ = robot_pose_ * pose_inc;
+        }
+        prev_odom_ = odom;
+        kbool("is_keyframe", false);
+        continue;
+      }
+      double accum_d = upd.get_accum_distance();
+      Eigen::Isometry3d kf_robot_pose = robot_pose_; // snapshot: NO pose_inc
+      prev_odom_ = odom;
+      first_key_added_ = true;
+
+      kbool("is_keyframe", true);
+      knum("accum_distance", accum_d);
+      Eigen::VectorXf rp6 = ps_graph_slam::matrix2vector(
+          kf_robot_pose.matrix().cast<float>());
+      kvec("robot_pose6", rp6, 6);
+
+      // ---- run(): immediate processing of the queued keyframe
+      n_keyframes += 1;
+      if (n_keyframes >= 2)
+        n_edges += 1; // odometry chain edge (empty_keyframe_queue :133-141)
+
+      if (det_available) {
+        std::vector<detected_object> dets =
+            gen_session_dets(da, st, rp6, cam_angle, max_dets, da_has_history);
+        std::vector<landmark> result = da.find_matches(dets, rp6, cam_angle);
+        da_has_history = true;
+        for (auto &lm : result) {
+          if (lm.is_new_landmark) {
+            auto *node = new g2o::VertexPointXYZ();
+            node->setEstimate(lm.pose.cast<double>());
+            da.assignLandmarkNode(lm.id, node);
+          }
+          n_edges += 1; // one pose-landmark edge per result entry
+        }
+        {
+          Arr adets("detections");
+          for (auto &det : dets) {
+            Obj dobj;
+            kstr("type", det.type);
+            kstr("plane_type", det.plane_type);
+            knum("prob", det.prob);
+            knum("num_points", det.num_points);
+            kvec("pose_cam", det.pose, 3);
+            kvec("normal_cam", det.normal_orientation, 4);
+          }
+        }
+        {
+          Arr ares("results");
+          for (auto &lm : result) {
+            Obj robj;
+            kbool("is_new", lm.is_new_landmark);
+            kint("id", lm.id);
+            kvec("pose_world", lm.pose, 3);
+            kvec("local_pose", lm.local_pose, 3);
+          }
+        }
+      }
+      kint("n_edges", n_edges);
+
+      // ---- optimize() refresh (graph_slam.cpp:182-186 <10-edge skip; with
+      // the stub g2o the last keyframe's estimate equals its odometry)
+      bool optimized = n_edges >= 10;
+      kbool("optimized", optimized);
+      if (optimized)
+        robot_pose_ = odom;
+    }
+  }
+
+  // final landmark table
+  std::vector<landmark> final_table;
+  da.getMappedLandmarks(final_table);
+  Arr tbl("final_table");
+  for (auto &l : final_table) {
+    Obj lo;
+    kint("id", l.id);
+    kstr("type", l.type);
+    kstr("plane_type", l.plane_type);
+    kvec("pose_world", l.pose, 3);
+    kvec("normal_world", l.normal_orientation, 4);
+  }
+}
+
+void section_session() {
+  Arr a("session");
+  run_session_scenario("session_eq", false, true, 0.5, 1.5, 60, 2);
+  run_session_scenario("session_maha", true, false, 0.5, 1.5, 60, 2);
+}
+
 int main(int argc, char **argv) {
   const char *path = argc > 1 ? argv[1] : "ref_oracle.json";
   out = std::fopen(path, "w");
@@ -787,6 +1067,7 @@ int main(int argc, char **argv) {
   section_ros_utils();
   section_keyframe_updater();
   section_association();
+  section_session();
   raw("}\n");
   std::fclose(out);
   std::fprintf(stderr, "wrote %s\n", path);
