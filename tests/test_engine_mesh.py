@@ -159,3 +159,51 @@ class TestCliDevices:
         t4, s4 = run(4, "out4")
         assert s4["keyframes"] == s1["keyframes"] > 5
         np.testing.assert_allclose(t4, t1, atol=1e-6)
+
+
+class TestEngineMeshSoaDist:
+    """The r5 mesh solver (solver/soa_dist.py) through the ENGINE: on TPU
+    the dispatch routes every jacobi mesh tick there from K >= 1024;
+    SLAM_SOLVER_IMPL=soa_dist forces the route on the CPU mesh so the
+    session-level product path is exercised in CI."""
+
+    def test_mesh_soa_dist_session_matches_ell(self, small_log, monkeypatch):
+        import jax
+
+        def run(impl):
+            monkeypatch.setenv("SLAM_SOLVER_IMPL", impl)
+            jax.clear_caches()
+            eng = _run(_mesh_config(4), small_log)
+            return eng
+
+        try:
+            e_ell = run("ell")
+            e_soa = run("soa_dist")
+        finally:
+            monkeypatch.delenv("SLAM_SOLVER_IMPL")
+            jax.clear_caches()
+        assert len(e_soa.keyframes) == len(e_ell.keyframes) > 5
+        assert int(e_soa.table.count) == int(e_ell.table.count)
+        n = e_ell._n_poses
+        # different solver family => summation-order drift only
+        np.testing.assert_allclose(
+            np.asarray(e_soa.graph.poses[:n]),
+            np.asarray(e_ell.graph.poses[:n]),
+            atol=5e-4,
+        )
+
+    def test_mesh_soa_dist_maha_session(self, small_log, monkeypatch):
+        """Maha gating under the forced soa_dist mesh route: marginal
+        recovery comes from the sharded final-state EllBlocks path."""
+        import jax
+
+        monkeypatch.setenv("SLAM_SOLVER_IMPL", "soa_dist")
+        jax.clear_caches()
+        try:
+            eng = _run(_mesh_config(4, maha=True), small_log)
+        finally:
+            monkeypatch.delenv("SLAM_SOLVER_IMPL")
+            jax.clear_caches()
+        assert len(eng.keyframes) > 5
+        assert int(eng.table.count) > 0
+        assert np.isfinite(np.asarray(eng.graph.poses)).all()
