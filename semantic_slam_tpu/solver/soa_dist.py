@@ -579,22 +579,27 @@ def run_lm_loop_soa_dist(
         if prior is not None:
             from semantic_slam_tpu.solver import fixed_lag as fl
 
+            # cast to the ASSEMBLED arrays' dtype (f32 on the kernel path
+            # even under x64), not wdt — an f64 value scattered into an
+            # f32 array trips the dtype-promotion deprecation
             PB = prior.p_idx.shape[0]
             gp_add, gl_add, chi_pr = fl.prior_fold_terms(prior, p, l, wdt)
             gp = gp.at[:, prior.p_idx].add(
-                jnp.transpose(gp_add.reshape(PB, 6)).astype(wdt)
+                jnp.transpose(gp_add.reshape(PB, 6)).astype(gp.dtype)
             )
             diag = diag.at[:, :, prior.p_idx].add(
-                jnp.transpose(fl.prior_pose_diag(prior), (1, 2, 0)).astype(wdt)
+                jnp.transpose(fl.prior_pose_diag(prior), (1, 2, 0)).astype(
+                    diag.dtype
+                )
             )
-            gl = gl + gl_add.astype(wdt)
-            Hll = Hll + prior.Hl.reshape(L, 9).astype(wdt)
-            chi = chi + chi_pr.astype(wdt)
+            gl = gl + gl_add.astype(gl.dtype)
+            Hll = Hll + prior.Hl.reshape(L, 9).astype(Hll.dtype)
+            chi = chi + chi_pr.astype(chi.dtype)
             if has_planes:
                 chi_pl, gpl_add = fl._plane_prior_terms(prior, pl)
-                gpl = gpl + gpl_add.astype(wdt)
-                Hpl = Hpl + prior.Hpl.reshape(Pl, 9).astype(wdt)
-                chi = chi + chi_pl.astype(wdt)
+                gpl = gpl + gpl_add.astype(gpl.dtype)
+                Hpl = Hpl + prior.Hpl.reshape(Pl, 9).astype(Hpl.dtype)
+                chi = chi + chi_pl.astype(chi.dtype)
         return _LinG(mv_prims, gp, diag, gl, Hll, chi, pprims, gpl, Hpl)
 
     def chi2_at(p, l, pl=None):
@@ -605,10 +610,13 @@ def run_lm_loop_soa_dist(
         if prior is not None:
             from semantic_slam_tpu.solver import fixed_lag as fl
 
-            chi = chi + fl.prior_chi2(prior, p, l).astype(wdt)
+            # chi.dtype, not wdt: the kernel path's chi is f32 even when
+            # the graph dtype is f64, and the LM while carry must not
+            # change dtype between build()'s chi2 and this trial chi2
+            chi = chi + fl.prior_chi2(prior, p, l).astype(chi.dtype)
             if has_planes:
                 chi_pl, _ = fl._plane_prior_terms(prior, pl)
-                chi = chi + chi_pl.astype(wdt)
+                chi = chi + chi_pl.astype(chi.dtype)
         return chi
 
     def solve(ling: _LinG, lam):
@@ -692,8 +700,10 @@ def run_lm_loop_soa_dist(
             if prior is not None:
                 PB = prior.p_idx.shape[0]
                 xp = jnp.transpose(xm)[prior.p_idx].reshape(-1)
-                add = (prior.Hp.astype(wdt) @ xp).reshape(PB, 6)
-                u = jnp.transpose(jnp.transpose(u).at[prior.p_idx].add(add))
+                add = (prior.Hp.astype(xp.dtype) @ xp).reshape(PB, 6)
+                u = jnp.transpose(
+                    jnp.transpose(u).at[prior.p_idx].add(add.astype(u.dtype))
+                )
             return (u + lam * xm) * pf[None, :]
 
         def precond(r):

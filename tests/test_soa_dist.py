@@ -312,3 +312,52 @@ class TestDistPlanes:
         np.testing.assert_allclose(
             np.asarray(pb.planes), np.asarray(pa.planes), atol=1e-6
         )
+
+
+class TestEnginePlanesDispatch:
+    def test_engine_planes_soa_dispatch_matches_pcg(self, monkeypatch):
+        """SLAM_SOLVER_IMPL=soa routes the engine's planar-patch ticks
+        through lm_optimize_soa_planes (the TPU default from K>=1024); a
+        full replay must match the pcg planes engine path."""
+        import dataclasses
+
+        import jax
+
+        from semantic_slam_tpu.io import replay as replay_mod
+        from semantic_slam_tpu.io import synthetic as synth_mod
+        from semantic_slam_tpu.runtime.engine import SlamEngine
+        from tests.test_scenarios import scenario_config
+
+        log = synth_mod.make_synthetic_log(
+            seed=21, n_steps=60, sensor_every=3, drift_noise=0.006,
+            scene="lab",
+        )
+        cfg = scenario_config()
+        cfg = cfg.replace(
+            use_plane_landmarks=True,
+            solver=dataclasses.replace(
+                cfg.solver, linear_solver="pcg", dtype="float32"
+            ),
+        )
+
+        def run(impl):
+            monkeypatch.setenv("SLAM_SOLVER_IMPL", impl)
+            jax.clear_caches()
+            eng = SlamEngine(cfg)
+            replay_mod.replay(log, eng)
+            return eng
+
+        try:
+            e_pcg = run("pcg")
+            e_soa = run("soa")
+        finally:
+            monkeypatch.delenv("SLAM_SOLVER_IMPL")
+            jax.clear_caches()
+        assert len(e_soa.keyframes) == len(e_pcg.keyframes) > 5
+        assert int(e_soa.table.count) == int(e_pcg.table.count)
+        n = e_pcg._n_poses
+        np.testing.assert_allclose(
+            np.asarray(e_soa.graph.poses[:n]),
+            np.asarray(e_pcg.graph.poses[:n]),
+            atol=5e-4,
+        )
