@@ -14,6 +14,12 @@ python -m pytest tests/ -q
 echo "== accuracy regression sweep =="
 python benchmarks/accuracy_sweep.py --steps 360
 
+echo "== compiled-TPU kernel value check =="
+# pins the COMPILED Pallas kernels against the XLA path on the real chip
+# (tools/tpu_kernel_check.py self-skips when the backend is not TPU);
+# one process only — the TPU tunnel serializes a single client
+python tools/tpu_kernel_check.py
+
 echo "== wheel =="
 pip wheel . --no-deps --no-build-isolation -w dist/ >/dev/null
 ls dist/*.whl
