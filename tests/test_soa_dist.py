@@ -361,3 +361,42 @@ class TestEnginePlanesDispatch:
             np.asarray(e_pcg.graph.poses[:n]),
             atol=5e-4,
         )
+
+
+def test_planes_collective_sizes(rng):
+    """Collective budget for the sharded planes path: plane tables add
+    [9Pl]-class psums; nothing bigger than the [36K]-class linearize psum
+    crosses the mesh."""
+    from semantic_slam_tpu.graph import planes as gp
+    from tests.test_graph_planes import observe_plane
+    from tests.test_pcg import _walk_jaxpr
+
+    g, gt_poses, _ = build_chain_graph(rng, noise=0.05)
+    pn = gp.make_planes(8, 64, dtype=jnp.float64)
+    pn, pid = gp.add_plane_node(pn, jnp.asarray([0.0, 0, 1, -1.2], jnp.float64))
+    info3 = jnp.eye(3, dtype=jnp.float64) * 100.0
+    for k in range(gt_poses.shape[0]):
+        pn = gp.add_se3_plane_edge(
+            pn, k, pid,
+            observe_plane(gt_poses[k], jnp.asarray([0.0, 0, 1, -1.2])),
+            info3,
+        )
+    g, r3 = _sort_obs_edges(g)
+    K = g.poses.shape[0]
+    L = g.landmarks.shape[0]
+    mesh = make_mesh(4)
+
+    def run(g, pn):
+        return sd.sharded_lm_optimize_soa_planes(
+            g, pn, mesh, ell_rows=r3 + (2,), use_tiled=False, **KWP
+        )
+
+    jaxpr = jax.make_jaxpr(run)(g, pn)
+    eqns = _walk_jaxpr(jaxpr.jaxpr, [])
+    psums = [e for e in eqns if "psum" in e.primitive.name]
+    assert psums
+    limit = max(K * 36, L * 9)
+    for e in psums:
+        for v in e.invars:
+            size = int(np.prod(v.aval.shape)) if v.aval.shape else 1
+            assert size <= limit, (e.primitive.name, v.aval.shape)
