@@ -101,6 +101,38 @@ def main() -> int:
     if not ok:
         failures += 1
 
+    # tiled kernels + dist host loop (r5): single-chip grid-tiled path and
+    # the sharded path through a 1-device mesh, each vs the XLA fallback
+    from jax.sharding import Mesh
+
+    from semantic_slam_tpu.solver import soa_dist as sd_mod
+
+    K, L, E2 = 2048, 512, 8192
+    g = _build_graph(K=K, L=L, E2=E2, dtype=jnp.float32, noise=0.05, seed=13)
+    rows = _ell_rows_for(K, E2)
+    kw = dict(
+        max_iterations=8, rel_tol=0.0, max_cg_iters=32, ell_rows=rows,
+        cg_tol=0.0,
+    )
+    ga, sa = sd_mod.lm_optimize_soa_tiled(g, use_tiled=False, **kw)
+    gb, sb = sd_mod.lm_optimize_soa_tiled(g, use_tiled=True, **kw)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("shard",))
+    gc, sc = sd_mod.sharded_lm_optimize_soa(g, mesh, use_tiled=True, **kw)
+    ca, cb, cc = (
+        float(sa.chi2_final), float(sb.chi2_final), float(sc.chi2_final)
+    )
+    c0 = float(sa.chi2_initial)
+    for name, cx in (("tiled", cb), ("sharded-tiled n=1", cc)):
+        rel = abs(ca - cx) / max(abs(ca), 1e-12)
+        ok = np.isfinite(cx) and rel < 5e-2 and cx < c0 and cx <= ca * 1.05
+        print(
+            f"[tpu_kernel_check] K={K} {name}: chi2 {c0:.4g} -> "
+            f"xla={ca:.6g} kernels={cx:.6g} rel={rel:.2e} -> "
+            f"{'OK' if ok else 'FAIL'}"
+        )
+        if not ok:
+            failures += 1
+
     print(f"[tpu_kernel_check] {'PASS' if failures == 0 else 'FAIL'}")
     return 1 if failures else 0
 
