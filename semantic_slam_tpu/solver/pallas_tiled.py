@@ -78,16 +78,22 @@ TILE_MAX = 2048  # Kb=4096 blocks blow the 16 MB scoped-VMEM cap in the
 _FORCE_BLOCK: int | None = None  # tests/benches pin the tile size
 
 
-def pick_block(Kl: int) -> int | None:
+def pick_block(Kl: int, hi: int = 0) -> int | None:
     """K-tile size in [TILE_MIN, TILE_MAX] dividing Kl (capacities are
     powers of two — engine growth doubles). Prefers a grid of >= 2 blocks
     so the Pallas pipeline overlaps each block's DMA with the previous
-    block's compute. None = out of kernel scope."""
+    block's compute. ``hi`` is the landmark digit-grid height: the
+    obs-linearize kernel's scoped VMEM sits ~1 MB under the 16 MB cap at
+    Kb=2048/hi=64 and the hi_oh temps grow with hi, so hi >= 128
+    (L > 2048) caps the tile at 1024 (measured: K=16384/L=4096 blows the
+    cap at Kb=2048 by 1.06M and runs at Kb=1024 — 4.61 ms/iter vs 10.4
+    XLA). None = out of kernel scope."""
     if _FORCE_BLOCK is not None:
         return _FORCE_BLOCK if Kl % _FORCE_BLOCK == 0 else None
     if Kl < TILE_MIN:
         return None
-    kb = min(TILE_MAX, Kl // 2) if Kl >= 2 * TILE_MIN else Kl
+    cap = 1024 if hi >= 128 else TILE_MAX
+    kb = min(cap, Kl // 2) if Kl >= 2 * TILE_MIN else min(cap, Kl)
     while kb >= TILE_MIN:
         if Kl % kb == 0:
             return kb
@@ -99,10 +105,10 @@ def tiled_fits(Kl: int, R: int, L: int) -> bool:
     """Static predicate: a block size exists and the per-block VMEM is in
     budget (the tiled kernels' block shapes are the proven resident-kernel
     family, so the envelope check is just the tile bound)."""
-    kb = pick_block(Kl)
+    lo_w, hi = digit_split(L)
+    kb = pick_block(Kl, hi)
     if kb is None:
         return False
-    lo_w, hi = digit_split(L)
     Lg = hi * lo_w
     per_block = (
         (3 + 9 + 3 + 9) * R * kb  # meas/info/v/Ow blocks
@@ -148,7 +154,9 @@ def _gather_grids(grids, lo_oh, hi_oh):
 def _lin_obs_kernel(
     t_ref,      # [3, Kb]
     q_ref,      # [4, Kb]
-    lm_ref,     # [Lg, 3] (constant across blocks)
+    lmT_ref,    # [3*lo_w, hi] landmark digit grids (constant across blocks;
+                # the [Lg, 3] table form lane-pads 3 -> 128 and costs MBs of
+                # VMEM at large L — the grid form is exact and tiny)
     meas_ref,   # [R, 3, Kb]
     info_ref,   # [R, 9, Kb]
     lodig_ref,  # [R, 1, Kb] i32
@@ -188,8 +196,8 @@ def _lin_obs_kernel(
     Rt = ch.rotmat_ch(ch.quat_conj_ch(q))  # [3, 3, Kb]
     Rt_out[:] = Rt.reshape(9, Kb)
 
-    lm3 = lm_ref[:].reshape(hi, lo_w, 3)
-    TzT = [jnp.transpose(lm3[:, :, d]) for d in range(3)]  # [lo_w, hi]
+    lmT = lmT_ref[:]
+    TzT = [lmT[d * lo_w:(d + 1) * lo_w, :] for d in range(3)]  # [lo_w, hi]
 
     gp_top = jnp.zeros((3, Kb), f32)
     gp_bot = jnp.zeros((3, Kb), f32)
@@ -424,7 +432,7 @@ def _chi2_kernel(
     q_ref,      # [4, Kb]
     tj_ref,     # [3, Kb]
     qj_ref,     # [4, Kb]
-    lm_ref,     # [Lg, 3]
+    lmT_ref,    # [3*lo_w, hi] landmark digit grids
     meas_ref,   # [R, 3, Kb]
     info_ref,   # [R, 9, Kb]
     lodig_ref,  # [R, 1, Kb]
@@ -456,8 +464,8 @@ def _chi2_kernel(
     hidig = hidig_ref[:]
     Rt = ch.rotmat_ch(ch.quat_conj_ch(q))
 
-    lm3 = lm_ref[:].reshape(hi, lo_w, 3)
-    TzT = [jnp.transpose(lm3[:, :, d]) for d in range(3)]
+    lmT = lmT_ref[:]
+    TzT = [lmT[d * lo_w:(d + 1) * lo_w, :] for d in range(3)]
 
     chi_acc = jnp.zeros((), f32)
     for r in range(R):
@@ -503,7 +511,7 @@ def tiled_linearize(
     q_loc,      # [4, Kl]
     tj_loc,     # [3, Kl]
     qj_loc,     # [4, Kl]
-    lm_tab,     # [Lg, 3] (pre-padded)
+    lmT,        # [3*lo_w, hi] landmark digit grids (host: _tab_to_grids)
     meas_t,     # [R, 3, Kl]
     info_t,     # [R, 9, Kl]
     lodig,      # [R, 1, Kl] i32
@@ -523,10 +531,9 @@ def tiled_linearize(
     glT [3*lo_w,hi], HllT [9*lo_w,hi], chi)."""
     R = meas_t.shape[0]
     Kl = t_loc.shape[1]
-    Lg = lm_tab.shape[0]
-    hi = Lg // lo_w
+    hi = lmT.shape[1]
     f32 = jnp.float32
-    Kb = pick_block(Kl)
+    Kb = pick_block(Kl, hi)
     grid = Kl // Kb
 
     kern = functools.partial(
@@ -549,7 +556,7 @@ def tiled_linearize(
         in_specs=[
             _bs((3, Kb), 1),
             _bs((4, Kb), 1),
-            _bs_const((Lg, 3)),
+            _bs_const((3 * lo_w, hi)),
             _bs((R, 3, Kb), 2),
             _bs((R, 9, Kb), 2),
             _bs((R, 1, Kb), 2),
@@ -567,7 +574,7 @@ def tiled_linearize(
         ),
         interpret=interpret,
     )(
-        t_loc.astype(f32), q_loc.astype(f32), lm_tab.astype(f32),
+        t_loc.astype(f32), q_loc.astype(f32), lmT.astype(f32),
         meas_t.astype(f32), info_t.astype(f32),
         lodig.astype(jnp.int32), hidig.astype(jnp.int32),
     )
@@ -612,7 +619,7 @@ def tiled_mv_fwd(v, Ow, lodig, hidig, Rt, xm, lo_w, hi, interpret=False):
     """(Oa [R,3,Kl], T [3*lo_w, hi]) — first matvec half over local rows."""
     R, _, Kl = v.shape
     f32 = jnp.float32
-    Kb = pick_block(Kl)
+    Kb = pick_block(Kl, hi)
     kern = functools.partial(_mv_fwd_kernel, R=R, lo_w=lo_w, hi=hi)
     return pl.pallas_call(
         kern,
@@ -647,7 +654,7 @@ def tiled_mv_bwd(
     """(u_part [6,Kl], vj [6,Kl]) — second matvec half over local rows."""
     R, _, Kl = v.shape
     f32 = jnp.float32
-    Kb = pick_block(Kl)
+    Kb = pick_block(Kl, hi)
     kern = functools.partial(_mv_bwd_kernel, R=R, lo_w=lo_w, hi=hi)
     return pl.pallas_call(
         kern,
@@ -684,17 +691,16 @@ def tiled_mv_bwd(
 
 
 def tiled_chi2(
-    t_loc, q_loc, tj_loc, qj_loc, lm_tab, meas_t, info_t, lodig, hidig,
+    t_loc, q_loc, tj_loc, qj_loc, lmT, meas_t, info_t, lodig, hidig,
     omt, omq, oO, lo_w,
     robust_kind="none", robust_delta=1.0, interpret=False,
 ):
     """Local-rows objective (obs + chain), one tiled kernel."""
     R = meas_t.shape[0]
     Kl = t_loc.shape[1]
-    Lg = lm_tab.shape[0]
-    hi = Lg // lo_w
+    hi = lmT.shape[1]
     f32 = jnp.float32
-    Kb = pick_block(Kl)
+    Kb = pick_block(Kl, hi)
     kern = functools.partial(
         _chi2_kernel, R=R, lo_w=lo_w, hi=hi,
         robust_kind=robust_kind, robust_delta=robust_delta,
@@ -706,7 +712,7 @@ def tiled_chi2(
         in_specs=[
             _bs((3, Kb), 1), _bs((4, Kb), 1),
             _bs((3, Kb), 1), _bs((4, Kb), 1),
-            _bs_const((Lg, 3)),
+            _bs_const((3 * lo_w, hi)),
             _bs((R, 3, Kb), 2),
             _bs((R, 9, Kb), 2),
             _bs((R, 1, Kb), 2),
@@ -718,7 +724,7 @@ def tiled_chi2(
         interpret=interpret,
     )(
         t_loc.astype(f32), q_loc.astype(f32),
-        tj_loc.astype(f32), qj_loc.astype(f32), lm_tab.astype(f32),
+        tj_loc.astype(f32), qj_loc.astype(f32), lmT.astype(f32),
         meas_t.astype(f32), info_t.astype(f32),
         lodig.astype(jnp.int32), hidig.astype(jnp.int32),
         omt.astype(f32), omq.astype(f32), oO.astype(f32),

@@ -268,18 +268,17 @@ def run_lm_loop_soa_dist(
             _slice_k(tj_full, off, Kl), _slice_k(qj_full, off, Kl),
         )
 
-    def _lm_tab(l):
-        pad = Lg - L
-        t = l.astype(wdt)
-        if pad:
-            t = jnp.concatenate([t, jnp.zeros((pad, 3), wdt)], axis=0)
-        return t
+    def _lm_grids(l):
+        # [3*lo_w, hi] digit-grid form: the [Lg, 3] table lane-pads 3->128
+        # in kernel VMEM and costs MBs at large L (K=16384 blew the scoped
+        # cap by exactly its size); the grid form is exact and ~50 KB
+        return _tab_to_grids(l.astype(wdt), lo_w, hi, 3, L)
 
     def lin_local_tiled(p, l):
         t_loc, q_loc, tj_loc, qj_loc = _pose_channels(p)
         (v, Ow, Rt, Hii, Hij, Hjj, gp_part, gj, diag_part, Hjj_d,
          glT, HllT, chi) = pt.tiled_linearize(
-            t_loc, q_loc, tj_loc, qj_loc, _lm_tab(l),
+            t_loc, q_loc, tj_loc, qj_loc, _lm_grids(l),
             de.meas_t, de.info_t, de.lodig, de.hidig,
             de.omt, de.omq, de.oO, lo_w,
             robust_kind=robust_kind, robust_delta=robust_delta,
@@ -518,7 +517,7 @@ def run_lm_loop_soa_dist(
         t_loc, q_loc, tj_loc, qj_loc = _pose_channels(p)
         if use_tiled:
             return pt.tiled_chi2(
-                t_loc, q_loc, tj_loc, qj_loc, _lm_tab(l),
+                t_loc, q_loc, tj_loc, qj_loc, _lm_grids(l),
                 de.meas_t, de.info_t, de.lodig, de.hidig,
                 de.omt, de.omq, de.oO, lo_w,
                 robust_kind=robust_kind, robust_delta=robust_delta,
